@@ -1,0 +1,196 @@
+"""URL canonicalization, save-path resolution and relativization.
+
+Reference semantics (pinned, /root/reference):
+- resolve + de-fragment + same-host filter: internal/pageparser.go:28-68
+  (parse ref URL, drop on error; strip fragment; resolve relative->absolute
+  against the page URL; drop when host differs from the page host).
+- save-path resolution: internal/models.go:213-231 (dir+basename of URL
+  path; fallback name when basename is "." or "/"; md5-of-full-URL when
+  empty; optional ".<ext>" suffix). Page variant uses ("index", "html")
+  (models.go:61-63); asset variant ("", "") (models.go:187-189); links are
+  relativized with ("", "html") (models.go:97).
+- relative-URL maker: internal/models.go:233-249 (path relative to the
+  page's save dir, "/" separators, "./" prefix unless already dotted,
+  fallback "./<basename>").
+- md5 hasher: internal/models.go:208-211.
+
+[NEW] beyond the reference (north_star RFC 3986 normalization):
+``canonicalize_url`` additionally lowercases scheme/host, strips default
+ports and removes dot-segments, controlled by ``strict_rfc3986`` (default
+True; resolution via urllib already removes dot-segments, so the flag only
+affects scheme/host case and default ports — the reference never emits
+those forms, keeping conformance intact).
+
+All functions are pure and vectorization-friendly; the batch-level
+canonicalizer caches per unique (base, ref) pair since web batches repeat
+refs heavily.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import posixpath
+import re
+from urllib.parse import urljoin, urlsplit, urlunsplit
+
+_DEFAULT_PORTS = {"http": "80", "https": "443"}
+
+# Fast path: already-absolute, already-canonical URL with no fragment,
+# no dot-segments, no default port, lowercase scheme+host.
+_CANONICAL_RE = re.compile(
+    r"^(?:http|https)://[a-z0-9.\-]+(?::\d+)?(?:/(?!\.{1,2}(?:/|$))[^#]*)?$"
+)
+
+
+def md5_hex(s: str) -> str:
+    """md5 hex digest of a string (internal/models.go:208-211)."""
+    return hashlib.md5(s.encode("utf-8")).hexdigest()
+
+
+def strip_fragment(url: str) -> str:
+    """Drop the #fragment (internal/pageparser.go:39)."""
+    i = url.find("#")
+    return url if i < 0 else url[:i]
+
+
+def _normalize_rfc3986(url: str) -> str:
+    """Lowercase scheme/host, strip default port, remove dot-segments [NEW]."""
+    parts = urlsplit(url)
+    scheme = parts.scheme.lower()
+    netloc = parts.netloc
+    host = parts.hostname
+    if host is not None:
+        port = parts.port
+        userinfo = ""
+        if "@" in netloc:
+            userinfo = netloc.rsplit("@", 1)[0] + "@"
+        if port is None or str(port) == _DEFAULT_PORTS.get(scheme, ""):
+            netloc = userinfo + host
+        else:
+            netloc = f"{userinfo}{host}:{port}"
+    path = parts.path
+    if "." in path:
+        path = posixpath.normpath(path) if path else path
+        # posixpath.normpath drops trailing slash and maps "" -> "."
+        if parts.path.endswith("/") and not path.endswith("/"):
+            path += "/"
+        if path == ".":
+            path = "/"
+    return urlunsplit((scheme, netloc, path, parts.query, ""))
+
+
+def canonicalize_url(ref: str, base: str, strict_rfc3986: bool = True) -> str | None:
+    """Canonical absolute URL for a raw extracted reference, or None.
+
+    Mirrors internal/pageparser.go:33-42: parse (None on failure), strip
+    fragment, resolve against ``base``. The same-host filter is applied
+    separately by :func:`same_host` (the caller needs the host anyway).
+    """
+    if _CANONICAL_RE.match(ref):
+        return ref  # already canonical and absolute; fragment-free by regex
+    try:
+        absolute = urljoin(base, strip_fragment(ref))
+    except ValueError:
+        return None
+    if strict_rfc3986:
+        try:
+            absolute = _normalize_rfc3986(absolute)
+        except ValueError:
+            return None
+    return absolute
+
+
+def host_of(url: str) -> str:
+    """netloc of a URL ('' when relative) — the Go url.Host equivalent."""
+    try:
+        return urlsplit(url).netloc
+    except ValueError:
+        return ""
+
+
+class Canonicalizer:
+    """Memoizing canonicalizer for batch use (compile-once, cache-per-actor).
+
+    The cache key is (base, ref); crawl batches repeat both heavily (every
+    span of a page shares the base; popular refs repeat across pages).
+    """
+
+    def __init__(self, strict_rfc3986: bool = True, max_cache: int = 1_000_000):
+        self._cache: dict[tuple[str, str], str | None] = {}
+        self._strict = strict_rfc3986
+        self._max = max_cache
+
+    def __call__(self, ref: str, base: str) -> str | None:
+        key = (base, ref)
+        hit = self._cache.get(key, False)
+        if hit is not False:
+            return hit
+        val = canonicalize_url(ref, base, self._strict)
+        if len(self._cache) < self._max:
+            self._cache[key] = val
+        return val
+
+
+def _go_path_base(p: str) -> str:
+    """Go path.Base: ""->"."; all-slashes->"/"; else last element
+    (trailing slashes stripped first)."""
+    if p == "":
+        return "."
+    p = p.rstrip("/")
+    if p == "":
+        return "/"
+    return p.rsplit("/", 1)[-1]
+
+
+def _go_path_dir(p: str) -> str:
+    """Go path.Dir: Clean of everything up to (incl.) the final slash."""
+    i = p.rfind("/")
+    head = p[: i + 1] if i >= 0 else ""
+    return posixpath.normpath(head) if head else "."
+
+
+def resolve_local_save_path(url: str, fallback_name: str, ext: str) -> str:
+    """URL -> local relative save path (internal/models.go:213-231).
+
+    Go's path.Dir/path.Base on the URL *path* (query excluded); "."/"/"
+    basename -> fallback; empty -> md5 of the full URL; optional ".ext".
+    """
+    path = urlsplit(url).path
+    d = _go_path_dir(path)
+    name = _go_path_base(path)
+    if name in (".", "/"):
+        name = fallback_name
+    if name == "":
+        name = md5_hex(url)
+    joined = posixpath.normpath(posixpath.join(d, name))
+    if ext:
+        joined += "." + ext
+    return joined
+
+
+def page_save_path(url: str) -> str:
+    """internal/models.go:61-63."""
+    return resolve_local_save_path(url, "index", "html")
+
+
+def asset_save_path(url: str) -> str:
+    """internal/models.go:187-189."""
+    return resolve_local_save_path(url, "", "")
+
+
+def link_save_path(url: str) -> str:
+    """Link target's would-be local path (internal/models.go:97)."""
+    return resolve_local_save_path(url, "", "html")
+
+
+def make_relative_url(root_path: str, local_path: str) -> str:
+    """Relativize ``local_path`` against dir of ``root_path``
+    (internal/models.go:233-249)."""
+    from_dir = posixpath.dirname(root_path) or "."
+    try:
+        rel = posixpath.relpath(local_path, from_dir)
+    except ValueError:
+        return "./" + posixpath.basename(local_path)
+    if not rel.startswith("."):
+        rel = "./" + rel
+    return rel
