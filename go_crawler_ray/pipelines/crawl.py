@@ -1,0 +1,564 @@
+"""The crawl pipeline: a driver BFS-round loop over Ray Data stages.
+
+Architecture (SURVEY.md §7.1):
+
+```
+seeds -> frontier_0
+round k:
+  [1] fetch:  map_batches(FetchFn)    corpus lookup, size gate, retry
+  [2] parse:  map_batches(ParseFn)    spans -> canonicalized children
+      (materialize: the round barrier — level-synchronized BFS)
+  [3] save:   map_batches(SaveFn)     save_path + localized content
+      docs -> checkpoint_dir/round_k/docs.parquet
+  [4] dedup:  ordered first-occurrence + sharded seen actors
+      (anti-join via batched check_and_insert RPC, queue.go:92-96)
+  [5] budget: limit accepted pages in (parent_seq, position) order
+      (enqueue-time budget AFTER seen-insert, queue.go:101-106)
+  [6] politeness [NEW]: robots filter + per-host tokens; excess deferred
+  frontier_{k+1} + manifest -> checkpoint
+until frontier and deferral queue empty, or page budget exhausted+drained
+```
+
+Determinism: the reference's canonical order is single-worker FIFO BFS
+(internal/queue.go:49,108). We reproduce it exactly by (a) level-
+synchronized rounds, (b) sorting each round's candidates by
+(parent_seq, position) before dedup/budget/seq assignment, (c) assigning
+``seq`` densely in that order. Fan-out order inside a round is then free
+for Ray to parallelize — conformance is on the seq-sorted result, never
+on physical block order (SURVEY.md §7.3).
+
+Termination: the reference's pendingAckCount quiescence (queue.go:116-129)
+becomes "round accepted zero candidates and nothing is deferred".
+
+Worker-side state amortization: heavy per-stage state (corpus hash index,
+canonicalizer memo) lives in module-level caches keyed by the broadcast
+object ref — Ray reuses worker processes across rounds, so each worker
+builds its index ONCE per crawl, not once per round. The broadcast itself
+is a single ``ray.put`` (zero-copy reads from the object store).
+
+Scale notes (10^10-URL frontier): every per-round dataset here is bounded
+by the round's frontier slice (politeness caps it), never the whole
+frontier; candidate ordering/seq assignment is a sort + offset-index — at
+cluster scale the driver-side ordered-accept step becomes
+``ds.sort(["parent_seq","position"])`` plus per-block offset numbering
+(the code path is the same vectorized kernel, applied per block). Docs
+stream straight to partitioned Parquet per round (resumable); the corpus
+side would swap InMemoryCorpusBackend for PartitionedCorpusBackend.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data as rd
+
+from ..functions.retry import RetryConfig
+from ..functions.urlnorm import host_of
+from ..stages.fetch import FetchStage
+from ..stages.parse import ParseStage, explode_children
+from ..stages.save import SaveStage
+from ..state.politeness import RobotsCache, apply_host_tokens, parse_robots
+from ..state.seen import ShardedSeenSet
+
+# ---------------------------------------------------------------------------
+# per-worker stage-state caches (amortized across rounds via worker reuse)
+
+_FETCH_CACHE: dict = {}
+_PARSE_CACHE: dict = {}
+_SAVE_CACHE: dict = {}
+
+
+@dataclass
+class CrawlConfig:
+    max_count: int = 100                 # page budget (CRAWLER_MAX_COUNT default, config.go:29)
+    max_file_size: int | None = 64 << 20  # HEAD gate (config.go:37)
+    num_seen_shards: int = 8
+    salt_k: int = 4                      # hot-host salting of seen shards
+    seen_mode: str = "exact"             # exact | cuckoo | both
+    politeness_max_per_host: int | None = None   # None/0 = off (reference mode)
+    robots: bool = False                 # [NEW]
+    strict_rfc3986: bool = True
+    checkpoint_dir: str | None = None
+    fetch_concurrency: int = 4
+    batch_size: int = 2048
+    max_rounds: int = 10_000
+    retry_attempts: int = 3
+    retry_delay: float = 0.0             # 0 in tests; 1.0 mirrors reference default
+    transient_fail_rate: float = 0.0
+    localize: bool = True                # run the T1 transform in save
+    write_docs: bool = True
+
+
+class _FetchFn:
+    """Picklable wrapper: heavy backend comes from the per-worker cache."""
+
+    def __init__(self, corpus_ref, cfg: CrawlConfig):
+        self.corpus_ref = corpus_ref
+        self.max_file_size = cfg.max_file_size
+        self.retry_attempts = cfg.retry_attempts
+        self.retry_delay = cfg.retry_delay
+        self.transient_fail_rate = cfg.transient_fail_rate
+
+    def _stage(self) -> FetchStage:
+        key = self.corpus_ref.hex()
+        st = _FETCH_CACHE.get(key)
+        if st is None:
+            st = FetchStage(
+                self.corpus_ref,
+                max_file_size=self.max_file_size,
+                retry_config=RetryConfig(max_attempts=self.retry_attempts,
+                                         delay=self.retry_delay,
+                                         jitter_factor=0.0),
+                transient_fail_rate=self.transient_fail_rate,
+            )
+            _FETCH_CACHE[key] = st
+        return st
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return self._stage()(batch)
+
+
+class _ParseFn:
+    def __init__(self, strict: bool):
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        st = _PARSE_CACHE.get(self.strict)
+        if st is None:
+            st = _PARSE_CACHE[self.strict] = ParseStage(self.strict)
+        return st(batch)
+
+
+class _SaveFn:
+    def __init__(self, strict: bool, localize: bool):
+        self.key = (strict, localize)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        st = _SAVE_CACHE.get(self.key)
+        if st is None:
+            st = _SAVE_CACHE[self.key] = SaveStage(*self.key)
+        return st(batch)
+
+
+@dataclass
+class CrawlResult:
+    visit_order: pa.Table               # (url, seq, kind) in global FIFO order
+    seen: list[str]                     # final URL-seen set (sorted)
+    pages_queued: int
+    rounds: int
+    docs_dir: str | None
+    metrics: dict = field(default_factory=dict)
+
+    def docs_dataset(self) -> rd.Dataset:
+        if self.docs_dir is None:
+            raise RuntimeError("crawl ran with write_docs=False")
+        return rd.read_parquet(self.docs_dir)
+
+
+_FRONTIER_COLS = ["url", "seq", "kind", "parent_seq", "position", "depth",
+                  "priority", "host"]
+
+
+def _empty_frontier() -> pa.Table:
+    return pa.table({
+        "url": pa.array([], pa.string()), "seq": pa.array([], pa.int64()),
+        "kind": pa.array([], pa.string()),
+        "parent_seq": pa.array([], pa.int64()),
+        "position": pa.array([], pa.int32()),
+        "depth": pa.array([], pa.int32()),
+        "priority": pa.array([], pa.int32()),
+        "host": pa.array([], pa.string()),
+    })
+
+
+class Crawler:
+    """Driver for the BFS-round crawl over a corpus table."""
+
+    def __init__(self, corpus: pa.Table, config: CrawlConfig | None = None):
+        self.cfg = config or CrawlConfig()
+        self.corpus_ref = ray.put(corpus)
+        self.seen = ShardedSeenSet(self.cfg.num_seen_shards,
+                                   mode=self.cfg.seen_mode,
+                                   salt_k=self.cfg.salt_k)
+        self.robots: RobotsCache | None = None
+        if self.cfg.robots:
+            self.robots = RobotsCache(num_shards=2)
+            self._preload_robots(corpus)
+        self.next_seq = 0
+        self.pages_queued = 0
+        self.round = 0
+        self._visit_parts: list[pa.Table] = []
+        self._seen_extra_parts: list[pa.Table] = []
+        self._deferred = _empty_frontier()
+        self.metrics: dict = {
+            "rounds": [], "pages_fetched": 0, "assets_fetched": 0,
+            "skipped_download": 0, "skipped_robots": 0,
+            "candidates": 0, "dedup_rejected": 0, "budget_refused": 0,
+            "deferred_total": 0, "bytes_content": 0,
+        }
+        ckpt = self.cfg.checkpoint_dir
+        self.docs_dir = os.path.join(ckpt, "docs") if ckpt and self.cfg.write_docs \
+            else (None if not self.cfg.write_docs else None)
+        if ckpt:
+            os.makedirs(ckpt, exist_ok=True)
+            if self.docs_dir:
+                os.makedirs(self.docs_dir, exist_ok=True)
+        self._docs_mem: list[pa.Table] = []   # when no checkpoint dir
+
+    # -- robots -----------------------------------------------------------
+    def _preload_robots(self, corpus: pa.Table) -> None:
+        """Scan the corpus once for robots.txt docs and preload the rule
+        cache (the real-web path would fetch lazily per host)."""
+        ids = corpus.column("doc_id").to_pylist()
+        bodies: dict[str, str] = {}
+        for i, u in enumerate(ids):
+            if u.endswith("/robots.txt"):
+                spans = corpus.column("spans")[i].as_py()
+                bodies[host_of(u)] = "".join(
+                    s["text"] for s in spans if s["kind"] == "text")
+        for actor in self.robots.actors:
+            ray.get(actor.preload.remote(bodies))
+
+    # -- seed / push ------------------------------------------------------
+    def push_seeds(self, seeds: list[str]) -> None:
+        cand = pa.table({
+            "url": pa.array(seeds, pa.string()),
+            "kind": pa.array(["page"] * len(seeds)),
+            "parent_seq": pa.array([-1] * len(seeds), pa.int64()),
+            "position": pa.array(np.arange(len(seeds), dtype=np.int32)),
+            "depth": pa.array([0] * len(seeds), pa.int32()),
+            "host": pa.array([host_of(u) for u in seeds]),
+        })
+        accepted = self._accept_candidates(cand)
+        self._frontier = accepted
+
+    # -- the ordered accept step (dedup -> budget -> seq) ------------------
+    def _accept_candidates(self, cand: pa.Table) -> pa.Table:
+        """Reference Push semantics over a candidate table, vectorized.
+
+        Order by (parent_seq, position) = single-worker push order; then
+        in-batch first-occurrence dedup, sharded seen check_and_insert
+        (marks seen), THEN the page budget (queue.go:92-106 ordering).
+        """
+        n = cand.num_rows
+        self.metrics["candidates"] += n
+        if n == 0:
+            return _empty_frontier()
+        ps = cand.column("parent_seq").to_numpy(zero_copy_only=False)
+        pos = cand.column("position").to_numpy(zero_copy_only=False)
+        order = np.lexsort((pos, ps))
+        cand = cand.take(pa.array(order))
+
+        urls = cand.column("url").to_pylist()
+        hosts = cand.column("host").to_pylist()
+        # in-batch first occurrence (single-push semantics for duplicates
+        # within one round), then cross-round membership via shard actors
+        first_idx: dict[str, int] = {}
+        keep_first = np.zeros(len(urls), dtype=bool)
+        for i, u in enumerate(urls):
+            if u not in first_idx:
+                first_idx[u] = i
+                keep_first[i] = True
+        fi = np.nonzero(keep_first)[0]
+        novel = self.seen.check_and_insert([urls[i] for i in fi],
+                                           [hosts[i] for i in fi])
+        accepted_mask = np.zeros(len(urls), dtype=bool)
+        accepted_mask[fi] = novel
+        self.metrics["dedup_rejected"] += int(len(urls) - accepted_mask.sum())
+
+        acc = cand.filter(pa.array(accepted_mask))
+        # page budget in order: enqueue-time, refused pages stay seen
+        kinds = acc.column("kind").to_pylist()
+        is_page = np.array([k == "page" for k in kinds], dtype=bool)
+        budget_left = self.cfg.max_count - self.pages_queued
+        page_rank = np.cumsum(is_page)          # 1-based rank among pages
+        enqueue = ~is_page | (page_rank <= budget_left)
+        n_pages_in = int(min(budget_left, is_page.sum())) if budget_left > 0 else 0
+        self.metrics["budget_refused"] += int(is_page.sum()) - n_pages_in
+        self.pages_queued += n_pages_in
+        if not enqueue.all():
+            # budget-refused pages are seen-but-never-enqueued: persist
+            # them so resume can restore the full seen set (D1 invariant)
+            self._seen_extra_parts.append(
+                acc.filter(pa.array(~enqueue)).select(["url"]))
+        acc = acc.filter(pa.array(enqueue))
+
+        seqs = np.arange(self.next_seq, self.next_seq + acc.num_rows,
+                         dtype=np.int64)
+        self.next_seq += acc.num_rows
+        acc = acc.append_column("seq", pa.array(seqs))
+        acc = acc.append_column(
+            "priority", pa.array(np.zeros(acc.num_rows, dtype=np.int32)))
+        return acc.select(_FRONTIER_COLS)
+
+    # -- one round --------------------------------------------------------
+    def _run_round(self) -> None:
+        cfg = self.cfg
+        t0 = time.time()
+        current = pa.concat_tables([self._deferred, self._frontier]) \
+            if self._deferred.num_rows else self._frontier
+        # [NEW] priority frontier: (priority, seq) — deferred rows keep
+        # their old seq so they go first (FIFO fairness)
+        srt = np.lexsort((current.column("seq").to_numpy(zero_copy_only=False),
+                          current.column("priority").to_numpy(zero_copy_only=False)))
+        current = current.take(pa.array(srt))
+
+        robots_blocked = None
+        if cfg.politeness_max_per_host:
+            hosts = np.array(current.column("host").to_pylist())
+            seqs = current.column("seq").to_numpy(zero_copy_only=False)
+            admit = apply_host_tokens(hosts, seqs, cfg.politeness_max_per_host)
+            self._deferred = current.filter(pa.array(~admit))
+            self.metrics["deferred_total"] += int((~admit).sum())
+            current = current.filter(pa.array(admit))
+        else:
+            self._deferred = _empty_frontier()
+
+        if self.robots is not None and current.num_rows:
+            hosts = current.column("host").to_pylist()
+            paths = ["/" + u.split("/", 3)[3] if u.count("/") >= 3 else "/"
+                     for u in current.column("url").to_pylist()]
+            ok = self.robots.allowed(hosts, paths)
+            robots_blocked = current.filter(pa.array(~ok))
+            self.metrics["skipped_robots"] += robots_blocked.num_rows
+            current = current.filter(pa.array(ok))
+
+        # ---- the Ray Data stages over this round's frontier slice ----
+        n = current.num_rows
+        docs_round = None
+        cands = None
+        if n:
+            nblocks = int(np.clip(n // cfg.batch_size + 1, 1, 64))
+            ds = rd.from_arrow(current)
+            if nblocks > 1:
+                ds = ds.repartition(nblocks)
+            ds = ds.map_batches(
+                _FetchFn(self.corpus_ref, cfg), batch_format="pyarrow",
+                batch_size=cfg.batch_size, concurrency=cfg.fetch_concurrency)
+            ds = ds.map_batches(
+                _ParseFn(cfg.strict_rfc3986), batch_format="pyarrow",
+                batch_size=cfg.batch_size)
+            parsed = ds.materialize()           # the round barrier
+
+            cand_batches = [b for b in parsed.map_batches(
+                explode_children, batch_format="pyarrow")
+                .iter_batches(batch_format="pyarrow") if b.num_rows]
+            cands = pa.concat_tables(cand_batches, promote_options="default") \
+                if cand_batches else None
+
+            if cfg.write_docs:
+                docs = parsed.drop_columns(["children"]).map_batches(
+                    _SaveFn(cfg.strict_rfc3986, cfg.localize),
+                    batch_format="pyarrow", batch_size=cfg.batch_size)
+                doc_batches = [b for b in
+                               docs.iter_batches(batch_format="pyarrow")
+                               if b.num_rows]
+                docs_round = pa.concat_tables(
+                    doc_batches, promote_options="default") \
+                    if doc_batches else None
+                if docs_round is not None:
+                    docs_round = docs_round.rename_columns(
+                        ["doc_id" if c == "url" else c
+                         for c in docs_round.column_names])
+
+        # ---- robots-blocked rows become skipped docs (no fetch) ----
+        if robots_blocked is not None and robots_blocked.num_rows:
+            rb = robots_blocked
+            empty_spans = pa.array(
+                [[]] * rb.num_rows,
+                type=pa.list_(pa.struct([("kind", pa.string()),
+                                         ("text", pa.string()),
+                                         ("media_ref", pa.string()),
+                                         ("offset", pa.int32())])))
+            rbt = rb.append_column("spans", empty_spans)
+            rbt = rbt.append_column("content_size", pa.array(
+                np.zeros(rb.num_rows, dtype=np.int64)))
+            rbt = rbt.append_column("status", pa.array(["skipped"] * rb.num_rows))
+            rbt = rbt.append_column("skipped_on", pa.array(["robots"] * rb.num_rows))
+            rbt = rbt.append_column("n_children", pa.array(
+                np.zeros(rb.num_rows, dtype=np.int32)))
+            save = SaveStage(cfg.strict_rfc3986, cfg.localize)
+            rbt = save(rbt)
+            rbt = rbt.rename_columns(
+                ["doc_id" if c == "url" else c for c in rbt.column_names])
+            docs_round = (pa.concat_tables([docs_round, rbt],
+                                           promote_options="default")
+                          if docs_round is not None else rbt)
+
+        # ---- persist docs + frontier + seen-delta (checkpoint) ----
+        if docs_round is not None:
+            self.metrics["bytes_content"] += sum(
+                len(c) for c in docs_round.column("content").to_pylist())
+            st = docs_round.column("status").to_pylist()
+            kd = docs_round.column("kind").to_pylist()
+            so = docs_round.column("skipped_on").to_pylist()
+            self.metrics["pages_fetched"] += sum(
+                1 for s, k in zip(st, kd) if k == "page" and s == "ok")
+            self.metrics["assets_fetched"] += sum(
+                1 for s, k in zip(st, kd) if k != "page" and s == "ok")
+            self.metrics["skipped_download"] += sum(
+                1 for x in so if x == "download")
+            rc = pa.array(np.full(docs_round.num_rows, self.round,
+                                  dtype=np.int32))
+            docs_round = docs_round.append_column("round", rc)
+            if self.docs_dir:
+                pq.write_table(docs_round,
+                               os.path.join(self.docs_dir,
+                                            f"round-{self.round:05d}.parquet"))
+            else:
+                self._docs_mem.append(docs_round)
+
+        # ---- accept next frontier ----
+        if cands is not None and cands.num_rows:
+            self._frontier = self._accept_candidates(cands)
+        else:
+            self._frontier = _empty_frontier()
+        if self._frontier.num_rows:
+            self._visit_parts.append(self._frontier)
+
+        self._checkpoint()
+        self.metrics["rounds"].append({
+            "round": self.round, "frontier": n,
+            "accepted_next": self._frontier.num_rows,
+            "deferred": self._deferred.num_rows,
+            "sec": round(time.time() - t0, 4),
+        })
+        self.round += 1
+
+    def _checkpoint(self) -> None:
+        ckpt = self.cfg.checkpoint_dir
+        if not ckpt:
+            return
+        rdir = os.path.join(ckpt, f"round-{self.round:05d}")
+        os.makedirs(rdir, exist_ok=True)
+        pq.write_table(self._frontier, os.path.join(rdir, "frontier.parquet"))
+        pq.write_table(self._deferred, os.path.join(rdir, "deferred.parquet"))
+        visit = (pa.concat_tables(self._visit_parts)
+                 if self._visit_parts else _empty_frontier())
+        pq.write_table(visit, os.path.join(rdir, "visit.parquet"))
+        extra = (pa.concat_tables(self._seen_extra_parts)
+                 if self._seen_extra_parts
+                 else pa.table({"url": pa.array([], pa.string())}))
+        pq.write_table(extra, os.path.join(rdir, "seen_extra.parquet"))
+        manifest = {
+            "round": self.round, "next_seq": self.next_seq,
+            "pages_queued": self.pages_queued,
+            "seen_size": self.seen.total_size(),
+            "metrics": {k: v for k, v in self.metrics.items() if k != "rounds"},
+        }
+        tmp = os.path.join(rdir, "manifest.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, os.path.join(rdir, "manifest.json"))
+
+    # -- run / resume ------------------------------------------------------
+    def run(self, seeds: list[str], max_rounds: int | None = None) -> CrawlResult:
+        self.push_seeds(seeds)
+        self._visit_parts.append(self._frontier)
+        return self._loop(max_rounds)
+
+    def _loop(self, max_rounds: int | None = None) -> CrawlResult:
+        limit = max_rounds if max_rounds is not None else self.cfg.max_rounds
+        t0 = time.time()
+        rounds_done = 0
+        while (self._frontier.num_rows or self._deferred.num_rows) \
+                and rounds_done < limit:
+            self._run_round()
+            rounds_done += 1
+        elapsed = time.time() - t0
+        visit = (pa.concat_tables(self._visit_parts)
+                 if self._visit_parts else _empty_frontier())
+        urls_processed = int(visit.num_rows)
+        self.metrics["elapsed_sec"] = round(elapsed, 4)
+        self.metrics["urls_per_sec"] = round(urls_processed / elapsed, 2) \
+            if elapsed > 0 else None
+        self.metrics["crawl_rate_pages_per_sec"] = round(
+            self.metrics["pages_fetched"] / elapsed, 2) if elapsed > 0 else None
+        return CrawlResult(
+            visit_order=visit.select(["url", "seq", "kind"]),
+            seen=self.seen.snapshot() if self.cfg.seen_mode != "cuckoo" else [],
+            pages_queued=self.pages_queued,
+            rounds=self.round,
+            docs_dir=self.docs_dir,
+            metrics=self.metrics,
+        )
+
+    def docs_table(self) -> pa.Table:
+        """In-memory docs (only when no checkpoint_dir was set)."""
+        if self.docs_dir:
+            return pq.read_table(self.docs_dir)
+        return pa.concat_tables(self._docs_mem, promote_options="default") \
+            if self._docs_mem else None
+
+    @classmethod
+    def resume(cls, corpus: pa.Table, checkpoint_dir: str,
+               config: CrawlConfig | None = None) -> "Crawler":
+        """Rebuild driver state from the latest complete round checkpoint.
+
+        Seen shards are restored from the visit log + the dedup invariant
+        is re-established by re-inserting every URL recorded seen (the
+        visit log holds enqueued URLs; budget-refused seen URLs are
+        re-discovered idempotently because check_and_insert re-rejects
+        duplicates)."""
+        cfg = config or CrawlConfig()
+        cfg.checkpoint_dir = checkpoint_dir
+        rounds = sorted(d for d in os.listdir(checkpoint_dir)
+                        if d.startswith("round-")
+                        and os.path.exists(os.path.join(checkpoint_dir, d,
+                                                        "manifest.json")))
+        if not rounds:
+            raise FileNotFoundError(f"no complete round under {checkpoint_dir}")
+        rdir = os.path.join(checkpoint_dir, rounds[-1])
+        with open(os.path.join(rdir, "manifest.json")) as f:
+            manifest = json.load(f)
+        self = cls.__new__(cls)
+        self.cfg = cfg
+        self.corpus_ref = ray.put(corpus)
+        self.seen = ShardedSeenSet(cfg.num_seen_shards, mode=cfg.seen_mode,
+                                   salt_k=cfg.salt_k)
+        self.robots = None
+        if cfg.robots:
+            self.robots = RobotsCache(num_shards=2)
+            self._preload_robots(corpus)
+        self.next_seq = manifest["next_seq"]
+        self.pages_queued = manifest["pages_queued"]
+        self.round = manifest["round"] + 1
+        self._frontier = pq.read_table(os.path.join(rdir, "frontier.parquet"))
+        self._deferred = pq.read_table(os.path.join(rdir, "deferred.parquet"))
+        visit = pq.read_table(os.path.join(rdir, "visit.parquet"))
+        self._visit_parts = [visit] if visit.num_rows else []
+        self.metrics = dict(manifest["metrics"])
+        self.metrics["rounds"] = []
+        self._docs_mem = []
+        self.docs_dir = os.path.join(checkpoint_dir, "docs") \
+            if cfg.write_docs else None
+        # restore the seen set: every URL ever enqueued OR refused was
+        # inserted; visit log covers enqueued; re-inserting the frontier's
+        # candidate parents' children is unnecessary because rejects are
+        # idempotent. Budget-refused pages are restored from the dedup
+        # delta persisted per round.
+        urls = visit.column("url").to_pylist()
+        hosts = [host_of(u) for u in urls]
+        self.seen.bulk_restore(urls, hosts)
+        delta_path = os.path.join(rdir, "seen_extra.parquet")
+        self._seen_extra_parts = []
+        if os.path.exists(delta_path):
+            extra = pq.read_table(delta_path)
+            if extra.num_rows:
+                self._seen_extra_parts = [extra]
+                us = extra.column("url").to_pylist()
+                self.seen.bulk_restore(us, [host_of(u) for u in us])
+        return self
+
+    def shutdown(self) -> None:
+        self.seen.shutdown()
+        if self.robots is not None:
+            self.robots.shutdown()

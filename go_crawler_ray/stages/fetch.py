@@ -1,0 +1,200 @@
+"""Fetch stage: resolve frontier URLs to documents.
+
+In the sandbox there is no network, so "fetch" is a lookup into the
+synthetic corpus (SURVEY.md §2.1 S1): the stage is a callable CLASS for
+``map_batches`` — the corpus handle is built ONCE per actor in __init__
+(the reference's sync.Pool of HTTP clients, cmd/crawler/main.go:46-50,
+becomes actor-held state), and each __call__ resolves a whole Arrow batch.
+
+Reference behaviors reproduced:
+- HEAD size gate: documents larger than ``max_file_size`` are skipped
+  with skipped_on="download" (main.go:319-330 + 64 MiB default,
+  internal/config.go:37). Size := total text bytes of the doc.
+- miss (dangling URL) -> skipped_on="download" after retry exhaustion
+  (main.go:150-161); failed rows are KEPT, not dropped (M7).
+- in-UDF retry: pkg/retry semantics via functions.retry; a deterministic
+  ``transient_fail_rate`` knob makes a fraction of URLs fail on their
+  first attempt so the retry path is integration-testable.
+
+At real scale the backend would be async HTTP inside the actor; for a
+100 TB corpus the lookup backend is partitioned Parquet with per-actor
+partition memoization (see PartitionedCorpusBackend).
+"""
+
+from __future__ import annotations
+
+import os
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..functions.retry import RetryConfig, retry_call
+from ..schemas import SPAN_STRUCT
+
+
+class InMemoryCorpusBackend:
+    """Hash-index over a broadcast Arrow corpus table.
+
+    The table lives ONCE in the object store (``ray.put`` on the driver);
+    every fetch actor zero-copy-reads it and builds its own url->row dict
+    in __init__ (O(N) once per actor, amortized over all batches).
+    """
+
+    def __init__(self, table: pa.Table):
+        self.table = table.combine_chunks()
+        self.spans = self.table.column("spans").chunk(0)
+        urls = self.table.column("doc_id").to_pylist()
+        self.index: dict[str, int] = {u: i for i, u in enumerate(urls)}
+
+    def indices(self, urls: list[str]) -> np.ndarray:
+        idx = np.empty(len(urls), dtype=np.int64)
+        get = self.index.get
+        for i, u in enumerate(urls):
+            idx[i] = get(u, -1)
+        return idx
+
+    def take_spans(self, indices: np.ndarray) -> pa.Array:
+        """Gather spans; missing (-1) become null entries."""
+        mask = indices < 0
+        safe = pa.array(np.where(mask, 0, indices), type=pa.int64(),
+                        mask=mask)
+        return self.spans.take(safe)
+
+    def get_spans(self, url: str):
+        i = self.index.get(url)
+        return None if i is None else self.spans[i].as_py()
+
+
+class PartitionedCorpusBackend:
+    """Scale-path backend: corpus laid out as hash(url)%P parquet files;
+    partitions load lazily and are memoized per actor. On a cluster, P is
+    sized so each partition fits a worker heap and hot partitions stay in
+    the OS page cache."""
+
+    def __init__(self, root: str, num_partitions: int):
+        self.root = root
+        self.P = num_partitions
+        self._parts: dict[int, InMemoryCorpusBackend] = {}
+
+    @staticmethod
+    def partition_of(url: str, P: int) -> int:
+        return zlib.crc32(url.encode("utf-8")) % P
+
+    @classmethod
+    def write(cls, table: pa.Table, root: str, num_partitions: int) -> None:
+        urls = table.column("doc_id").to_pylist()
+        pid = np.fromiter((cls.partition_of(u, num_partitions) for u in urls),
+                          dtype=np.int64, count=len(urls))
+        os.makedirs(root, exist_ok=True)
+        for p in range(num_partitions):
+            sub = table.take(pa.array(np.nonzero(pid == p)[0]))
+            pq.write_table(sub, os.path.join(root, f"part-{p:05d}.parquet"))
+
+    def _part(self, p: int) -> InMemoryCorpusBackend:
+        be = self._parts.get(p)
+        if be is None:
+            tbl = pq.read_table(os.path.join(self.root, f"part-{p:05d}.parquet"))
+            be = self._parts[p] = InMemoryCorpusBackend(tbl)
+        return be
+
+    def indices(self, urls: list[str]) -> np.ndarray:
+        raise NotImplementedError("use lookup_spans; partition ids are internal")
+
+    def lookup_spans(self, urls: list[str]) -> pa.Array:
+        pid = [self.partition_of(u, self.P) for u in urls]
+        out: list = [None] * len(urls)
+        by_part: dict[int, list[int]] = {}
+        for i, p in enumerate(pid):
+            by_part.setdefault(p, []).append(i)
+        chunks = []
+        order = []
+        for p, idxs in by_part.items():
+            be = self._part(p)
+            sub = be.take_spans(be.indices([urls[i] for i in idxs]))
+            chunks.append(sub)
+            order.extend(idxs)
+        merged = pa.concat_arrays([c.cast(pa.list_(SPAN_STRUCT)) for c in chunks])
+        inv = np.empty(len(urls), dtype=np.int64)
+        inv[np.array(order)] = np.arange(len(urls))
+        return merged.take(pa.array(inv))
+
+
+def spans_text_sizes(spans: pa.Array) -> np.ndarray:
+    """Per-row total text bytes of a list<struct> spans column (the
+    deterministic Content-Length stand-in)."""
+    arr = spans.combine_chunks() if isinstance(spans, pa.ChunkedArray) else spans
+    n = len(arr)
+    sizes = np.zeros(n, dtype=np.int64)
+    flat_parent = pc.list_parent_indices(arr).to_numpy(zero_copy_only=False)
+    if len(flat_parent) == 0:
+        return sizes
+    texts = arr.flatten().field("text")
+    lens = pc.binary_length(texts).to_numpy(zero_copy_only=False)
+    np.add.at(sizes, flat_parent.astype(np.int64), lens)
+    return sizes
+
+
+EMPTY_SPANS = pa.scalar([], type=pa.list_(SPAN_STRUCT))
+
+
+class FetchStage:
+    """map_batches callable: (url, ...) -> + spans, status, skipped_on,
+    content_size. Build once per actor; vectorized per batch."""
+
+    def __init__(self, corpus, max_file_size: int | None = None,
+                 retry_config: RetryConfig | None = None,
+                 transient_fail_rate: float = 0.0):
+        import ray
+
+        table = ray.get(corpus) if isinstance(corpus, ray.ObjectRef) else corpus
+        self.backend = InMemoryCorpusBackend(table)
+        self.max_file_size = max_file_size
+        self.retry_config = retry_config or RetryConfig(
+            max_attempts=3, delay=0.0, jitter_factor=0.0)
+        self.transient_fail_rate = transient_fail_rate
+        self._failed_once: set[str] = set()
+
+    def _lookup_one(self, url: str) -> int:
+        """Per-URL 'HTTP GET' with simulated first-attempt transient
+        failure (the reference retries per item, main.go:150-156)."""
+        thresh = int(self.transient_fail_rate * 1000)
+        if url not in self._failed_once and \
+                zlib.crc32(url.encode()) % 1000 < thresh:
+            self._failed_once.add(url)
+            raise ConnectionError(f"transient fetch failure for {url}")
+        return self.backend.index.get(url, -1)
+
+    def _lookup(self, urls: list[str]) -> np.ndarray:
+        if self.transient_fail_rate <= 0.0:
+            return self.backend.indices(urls)   # vectorized hot path
+        out = np.empty(len(urls), dtype=np.int64)
+        for i, u in enumerate(urls):
+            try:
+                out[i] = retry_call(lambda u=u: self._lookup_one(u),
+                                    self.retry_config)
+            except ConnectionError:
+                out[i] = -1                     # exhausted -> download skip
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        idx = self._lookup(urls)
+        spans = self.backend.take_spans(idx)
+        sizes = spans_text_sizes(spans)
+        missing = idx < 0
+        oversize = (np.zeros_like(missing) if self.max_file_size is None
+                    else (sizes > self.max_file_size) & ~missing)
+        skipped = missing | oversize
+        # skipped rows carry empty spans (oracle parity: parse of empty
+        # content succeeds with zero children, Go html.Parse on nil bytes)
+        spans = pc.if_else(pa.array(skipped), EMPTY_SPANS, spans)
+        spans = spans.fill_null(EMPTY_SPANS)
+        status = pc.if_else(pa.array(skipped), pa.scalar("skipped"), pa.scalar("ok"))
+        skipped_on = pc.if_else(pa.array(skipped), pa.scalar("download"), pa.scalar(""))
+        out = batch.append_column("spans", spans)
+        out = out.append_column("content_size", pa.array(sizes))
+        out = out.append_column("status", status)
+        return out.append_column("skipped_on", skipped_on)

@@ -1,0 +1,101 @@
+"""Checkpoint/resume (SURVEY.md §5 item 5) and [NEW] politeness/robots
+semantics (our own spec — the reference has neither)."""
+
+import os
+
+import pytest
+
+from go_crawler_ray.pipelines.crawl import Crawler, CrawlConfig
+from go_crawler_ray.pipelines.oracle import corpus_table_to_dict, oracle_crawl
+from go_crawler_ray.sources.corpus import seed_url
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestResume:
+    def test_kill_after_k_rounds_resume_identical(self, t1_corpus, tmp_path):
+        seed = seed_url(0)
+        # uninterrupted reference run
+        c_full = Crawler(t1_corpus, CrawlConfig(
+            max_count=60, checkpoint_dir=str(tmp_path / "full")))
+        full = c_full.run([seed])
+        c_full.shutdown()
+
+        # interrupted after 2 rounds...
+        ck = str(tmp_path / "ck")
+        c1 = Crawler(t1_corpus, CrawlConfig(max_count=60, checkpoint_dir=ck))
+        c1.run([seed], max_rounds=2)
+        c1.shutdown()
+        assert os.path.exists(os.path.join(ck, "round-00001", "manifest.json"))
+
+        # ...then resumed from the checkpoint
+        c2 = Crawler.resume(t1_corpus, ck,
+                            CrawlConfig(max_count=60, checkpoint_dir=ck))
+        resumed = c2._loop()
+        c2.shutdown()
+
+        assert set(resumed.seen) == set(full.seen)
+        assert resumed.pages_queued == full.pages_queued
+        got = list(zip(resumed.visit_order.column("url").to_pylist(),
+                       resumed.visit_order.column("seq").to_pylist()))
+        want = list(zip(full.visit_order.column("url").to_pylist(),
+                        full.visit_order.column("seq").to_pylist()))
+        assert got == want
+
+    def test_docs_partitioned_per_round(self, unit_corpus, tmp_path):
+        ck = str(tmp_path / "ck2")
+        c = Crawler(unit_corpus, CrawlConfig(max_count=100, checkpoint_dir=ck))
+        res = c.run([seed_url(0)])
+        c.shutdown()
+        files = sorted(os.listdir(os.path.join(ck, "docs")))
+        assert len(files) == res.rounds          # one parquet per round
+        assert all(f.startswith("round-") for f in files)
+        ds = res.docs_dataset()
+        assert ds.count() == len(res.visit_order)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPoliteness:
+    def test_tokens_defer_not_drop(self, t1_corpus):
+        """Politeness changes WHEN a URL is fetched, never WHETHER."""
+        seed = seed_url(0)
+        base = Crawler(t1_corpus, CrawlConfig(max_count=40))
+        ref = base.run([seed])
+        base.shutdown()
+
+        pol = Crawler(t1_corpus, CrawlConfig(
+            max_count=40, politeness_max_per_host=5))
+        got = pol.run([seed])
+        pol.shutdown()
+
+        assert set(got.seen) == set(ref.seen)
+        assert got.pages_queued == ref.pages_queued
+        assert got.rounds > ref.rounds            # throttling stretches rounds
+        assert got.metrics["deferred_total"] > 0
+
+    def test_per_round_host_cap_respected(self, t1_corpus):
+        pol = Crawler(t1_corpus, CrawlConfig(
+            max_count=30, politeness_max_per_host=3))
+        got = pol.run([seed_url(0)])
+        pol.shutdown()
+        for r in got.metrics["rounds"]:
+            assert r["frontier"] <= 3             # single host -> cap = 3/round
+
+    def test_robots_blocks_disallowed_prefix(self, t1_corpus):
+        """Corpus plants robots.txt with 'Disallow: /dir0/' on h0."""
+        c = Crawler(t1_corpus, CrawlConfig(max_count=10_000, robots=True))
+        got = c.run([seed_url(0)])
+        docs = c.docs_table()
+        c.shutdown()
+        by_status = {}
+        for i in range(docs.num_rows):
+            by_status[docs.column("doc_id")[i].as_py()] = (
+                docs.column("status")[i].as_py(),
+                docs.column("skipped_on")[i].as_py())
+        blocked = {u: v for u, v in by_status.items() if v[1] == "robots"}
+        assert blocked, "some /dir0/ URLs must be robots-blocked"
+        assert all(u.startswith("https://h0.example/dir0/") for u in blocked)
+        # robots-blocked pages yield no children but ARE in the seen set
+        assert set(blocked) <= set(got.seen)
+        # and no /dir0/ page was actually fetched ok
+        assert not any(u.startswith("https://h0.example/dir0/")
+                       and v == ("ok", "") for u, v in by_status.items())
