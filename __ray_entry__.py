@@ -1,16 +1,15 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the go_crawler_ray engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``ray.init`` itself before importing this module:
+nothing here (nor in the library) initialises or shuts down Ray.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``   — flagship crawl pipeline on /root/testdata/sf0.001.
+- ``queries()`` — one callable per implemented operator (SURVEY.md §2 +
+  the training-data additions); each takes ``sf_dir``.
+- ``oracle_sql()`` — DuckDB-equivalent SQL per query where ANSI SQL can
+  express the computation (column names match the Ray outputs exactly);
+  non-SQL-expressible ops (BFS crawl, MinHash/SimHash/LSH, language-ID
+  heuristic) are intentionally omitted -> rows-only checks.
 """
 
 from __future__ import annotations
@@ -18,27 +17,152 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from go_crawler_ray.pipelines import ann as _ann
+from go_crawler_ray.pipelines import crawl_queries as _cq
+from go_crawler_ray.pipelines import dedup as _dedup
+from go_crawler_ray.pipelines import multimodal as _mm
+from go_crawler_ray.pipelines import relational as _rel
+from go_crawler_ray.pipelines import textproc as _text
+from go_crawler_ray.sources.corpus import ensure_corpus
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: the reference-conformance BFS crawl over the sf0.001-tier
+    synthetic corpus; returns the crawled-documents summary table."""
+    return _cq.crawl_docs_out("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        # --- crawl engine (the reference's own pipeline) ---
+        "crawl_spans_flatten": _cq.spans_flatten,
+        "crawl_extract_resources": _cq.extract_resources,
+        "crawl_span_stats": _cq.span_stats,
+        "crawl_bfs_visit_order": _cq.bfs_visit_order,       # rows-only
+        "crawl_docs_out": _cq.crawl_docs_out,               # rows-only
+        "crawl_seen_set": _cq.crawl_seen_set,               # rows-only
+        # --- relational core ---
+        "pricing_summary": _rel.pricing_summary,
+        "segment_revenue": _rel.segment_revenue,
+        "top_orders": _rel.top_orders,
+        "distinct_event_types": _rel.distinct_event_types,
+        "high_value_lineitems": _rel.high_value_lineitems,
+        "hourly_event_stats": _rel.hourly_event_stats,
+        "user_sessions": _rel.user_sessions,
+        # --- text analysis ---
+        "text_token_count": _text.token_count,
+        "text_quality": _text.quality_scores,
+        "text_fingerprint": _text.fingerprint,
+        "text_langid": _text.langid,                        # rows-only
+        # --- dedup family ---
+        "dedup_exact": _dedup.exact_dedup,
+        "dedup_minhash_clusters": _dedup.minhash_clusters,  # rows-only
+        "dedup_simhash": _dedup.simhash_signatures,         # rows-only
+        "dedup_simhash_pairs": _dedup.simhash_near_pairs,   # rows-only
+        "dedup_ngram_jaccard": _dedup.ngram_jaccard_pairs,  # rows-only
+        "dedup_embedding_cosine": _dedup.embedding_near_pairs,
+        # --- similarity search ---
+        "ann_brute_force_topk": _ann.brute_force_topk,
+        "ann_lsh_topk": _ann.lsh_topk,                      # rows-only
+        # --- multimodal ---
+        "multimodal_media_meta": _mm.media_metadata,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
+_STOP = "('the','a','an','and','or','of','to','in','is','on')"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    corpus = ensure_corpus("t2")   # sf0.01 tier — guarantee the file exists
+    flat = (f"SELECT doc_id, u.kind AS kind, u.text AS text, "
+            f"u.media_ref AS media_ref, u.\"offset\" AS \"offset\" "
+            f"FROM read_parquet('{corpus}'), UNNEST(spans) AS t(u)")
+    return {
+        "crawl_spans_flatten": f"{flat} ORDER BY doc_id, \"offset\"",
+        "crawl_extract_resources": (
+            f"SELECT doc_id, kind, split_part(media_ref, '#', 1) AS ref_nofrag,"
+            f" \"offset\" FROM ({flat}) "
+            f"WHERE kind IN ('link','css','script','img') "
+            f"ORDER BY doc_id, \"offset\""),
+        "crawl_span_stats": (
+            f"SELECT kind, COUNT(*) AS n_spans, "
+            f"COUNT(DISTINCT doc_id) AS n_docs FROM ({flat}) "
+            f"GROUP BY kind ORDER BY kind"),
+        "pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, "
+            "ROUND(SUM(l_quantity), 4) AS sum_qty, "
+            "ROUND(SUM(l_extendedprice), 4) AS sum_base_price, "
+            "ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price, "
+            "COUNT(*) AS n_rows, "
+            "ROUND(SUM(l_quantity) / COUNT(*), 4) AS avg_qty, "
+            "ROUND(SUM(l_extendedprice) / COUNT(*), 4) AS avg_price "
+            "FROM lineitem GROUP BY l_returnflag, l_linestatus "
+            "ORDER BY l_returnflag, l_linestatus"),
+        "segment_revenue": (
+            "SELECT c_mktsegment, ROUND(SUM(o_totalprice), 4) AS revenue, "
+            "COUNT(*) AS n_orders FROM orders "
+            "JOIN customer ON o_custkey = c_custkey "
+            "GROUP BY c_mktsegment ORDER BY c_mktsegment"),
+        "top_orders": (
+            "SELECT o_orderkey, ROUND(o_totalprice, 4) AS o_totalprice "
+            "FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"),
+        "distinct_event_types": (
+            "SELECT DISTINCT event_type FROM events ORDER BY event_type"),
+        "high_value_lineitems": (
+            "SELECT l_orderkey, l_linenumber, "
+            "ROUND(l_extendedprice * (1 - l_discount), 4) AS revenue "
+            "FROM lineitem WHERE l_extendedprice > 90000.0 "
+            "ORDER BY l_orderkey, l_linenumber"),
+        "hourly_event_stats": (
+            "SELECT event_type, date_trunc('hour', ts) AS window_start, "
+            "ROUND(SUM(value), 4) AS sum_value, COUNT(*) AS n_events "
+            "FROM events GROUP BY event_type, date_trunc('hour', ts) "
+            "ORDER BY event_type, window_start"),
+        "user_sessions": (
+            "SELECT user_id, "
+            "CAST(1 + COALESCE(SUM(CASE WHEN gap > 1800 THEN 1 ELSE 0 END), 0)"
+            " AS BIGINT) AS n_sessions, COUNT(*) AS n_events "
+            "FROM (SELECT user_id, epoch(ts - LAG(ts) OVER "
+            "(PARTITION BY user_id ORDER BY ts)) AS gap FROM events) "
+            "GROUP BY user_id ORDER BY user_id"),
+        "text_token_count": (
+            f"SELECT doc_id, CAST(len({_TOKENS}) AS BIGINT) AS n_tokens "
+            f"FROM documents ORDER BY doc_id"),
+        "text_quality": (
+            f"SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, "
+            f"CAST(len({_TOKENS}) AS BIGINT) AS n_words, "
+            f"ROUND(CAST(length(replace(text, ' ', '')) AS DOUBLE) "
+            f"/ len({_TOKENS}), 4) AS avg_word_len, "
+            f"ROUND(CAST(len(list_filter({_TOKENS}, w -> w IN {_STOP})) "
+            f"AS DOUBLE) / len({_TOKENS}), 4) AS stopword_ratio "
+            f"FROM documents ORDER BY doc_id"),
+        "text_fingerprint": (
+            "SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ',"
+            " 'g'))) AS fp FROM documents ORDER BY doc_id"),
+        "dedup_exact": (
+            f"SELECT array_to_string(({_TOKENS})[1:3], ' ') AS dedup_key, "
+            f"MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_dups "
+            f"FROM documents GROUP BY dedup_key ORDER BY dedup_key"),
+        "dedup_embedding_cosine": (
+            "SELECT a.vec_id AS a, b.vec_id AS b, "
+            "ROUND(list_cosine_similarity(a.embedding, b.embedding), 4) AS cos "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45 "
+            "ORDER BY a, b"),
+        "ann_brute_force_topk": (
+            "WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8), "
+            "sims AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, "
+            "list_cosine_similarity(q.embedding, e.embedding) AS cos_raw "
+            "FROM q JOIN embeddings e ON e.vec_id <> q.vec_id) "
+            "SELECT query_id, neighbor_id, ROUND(cos_raw, 4) AS cos FROM "
+            "(SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id "
+            "ORDER BY cos_raw DESC, neighbor_id) AS rn FROM sims) "
+            "WHERE rn <= 5 ORDER BY query_id, cos_raw DESC, neighbor_id"),
+        "multimodal_media_meta": (
+            "SELECT doc_id, CAST(16 + doc_id % 64 AS BIGINT) AS width, "
+            "CAST(16 + (doc_id * 7) % 64 AS BIGINT) AS height, "
+            "CAST(1 + doc_id % 3 AS BIGINT) AS channels, "
+            "CAST(12 + strlen(text) AS BIGINT) AS n_bytes, "
+            "TRUE AS decode_ok FROM documents ORDER BY doc_id"),
+    }

@@ -1,0 +1,127 @@
+"""Similarity search over the ``embeddings`` table.
+
+- ``brute_force_topk``: exact cosine top-k — the baseline. The query
+  matrix is broadcast once (ray.put); every batch does ONE numpy matmul
+  against it and emits its per-query partial top-k; the driver merges
+  k x n_batches candidate rows (tiny) into the final top-k. No shuffle.
+- ``lsh_topk``: the scale path — random-hyperplane signatures bucket the
+  corpus; only colliding buckets are exactly re-ranked. Recall vs the
+  baseline is measured in tests; at 10^10 rows this is the difference
+  between a full scan and touching ~1/2^bits of the corpus per probe.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data as rd
+
+from ..functions.compat import round_half_away
+
+
+def _load_queries(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
+    full = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id", "embedding"]).to_pandas()
+    full = full.sort_values("vec_id").head(n_queries)
+    q_ids = full["vec_id"].to_numpy()
+    Q = np.stack(full["embedding"].to_numpy()).astype(np.float64)
+    return q_ids, Q / np.linalg.norm(Q, axis=1, keepdims=True)
+
+
+def brute_force_topk(sf_dir: str, n_queries: int = 8, k: int = 5) -> pd.DataFrame:
+    """(query_id, neighbor_id, cos) exact top-k per query, self excluded.
+    Ties broken by neighbor_id ascending."""
+    q_ids, Qn = _load_queries(sf_dir, n_queries)
+    ref = ray.put((q_ids, Qn))
+
+    class PartialTopK:
+        def __init__(self):
+            self.q_ids, self.Qn = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            ids = batch["vec_id"].to_numpy()
+            V = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            S = self.Qn @ Vn.T                       # n_queries x batch
+            # exclude self BEFORE the per-batch top-k (a query's own vector
+            # would otherwise consume one of its k slots)
+            for qi, qid in enumerate(self.q_ids):
+                S[qi, ids == qid] = -np.inf
+            rows = {"query_id": [], "neighbor_id": [], "cos": []}
+            kk = min(k, S.shape[1])
+            for qi in range(S.shape[0]):
+                part = np.argpartition(-S[qi], kk - 1)[:kk]
+                rows["query_id"].extend([self.q_ids[qi]] * len(part))
+                rows["neighbor_id"].extend(ids[part])
+                rows["cos"].extend(S[qi, part])
+            return pd.DataFrame({
+                "query_id": np.array(rows["query_id"], dtype="int64"),
+                "neighbor_id": np.array(rows["neighbor_id"], dtype="int64"),
+                "cos": np.array(rows["cos"]),
+            })
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    cand = ds.map_batches(PartialTopK, batch_format="pandas",
+                          concurrency=2, batch_size=1024).to_pandas()
+    cand = cand[cand["query_id"] != cand["neighbor_id"]]
+    cand = cand.sort_values(["query_id", "cos", "neighbor_id"],
+                            ascending=[True, False, True])
+    out = cand.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    out["cos"] = round_half_away(out["cos"])
+    return out
+
+
+def lsh_topk(sf_dir: str, n_queries: int = 8, k: int = 5,
+             n_bits: int = 8, n_tables: int = 4,
+             seed: int = 11) -> pd.DataFrame:
+    """Approximate top-k: multi-table random-hyperplane LSH.
+
+    A vector is a candidate for a query if they share a signature in ANY
+    table. Candidates are exactly re-ranked. Deterministic given seed."""
+    q_ids, Qn = _load_queries(sf_dir, n_queries)
+    dim = Qn.shape[1]
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, n_bits, dim))
+    q_sigs = np.einsum("tbd,qd->tqb", planes, Qn) > 0     # tables x q x bits
+    pw = (1 << np.arange(n_bits)).astype(np.int64)
+    q_keys = (q_sigs @ pw)                                 # tables x q
+    ref = ray.put((q_ids, Qn, planes, q_keys))
+
+    class Probe:
+        def __init__(self):
+            self.q_ids, self.Qn, self.planes, self.q_keys = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            ids = batch["vec_id"].to_numpy()
+            V = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            sigs = np.einsum("tbd,nd->tnb", self.planes, Vn) > 0
+            keys = sigs @ pw                               # tables x n
+            # candidate mask: any table key matches any query's key
+            out = {"query_id": [], "neighbor_id": [], "cos": []}
+            for qi in range(len(self.q_ids)):
+                m = (keys == self.q_keys[:, qi][:, None]).any(axis=0)
+                if not m.any():
+                    continue
+                cos = Vn[m] @ self.Qn[qi]
+                out["query_id"].extend([self.q_ids[qi]] * int(m.sum()))
+                out["neighbor_id"].extend(ids[m])
+                out["cos"].extend(cos)
+            return pd.DataFrame({
+                "query_id": np.array(out["query_id"], dtype="int64"),
+                "neighbor_id": np.array(out["neighbor_id"], dtype="int64"),
+                "cos": np.array(out["cos"], dtype="float64"),
+            })
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    cand = ds.map_batches(Probe, batch_format="pandas",
+                          concurrency=2, batch_size=1024).to_pandas()
+    cand = cand[cand["query_id"] != cand["neighbor_id"]]
+    cand = cand.sort_values(["query_id", "cos", "neighbor_id"],
+                            ascending=[True, False, True])
+    out = cand.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    out["cos"] = round_half_away(out["cos"])
+    return out

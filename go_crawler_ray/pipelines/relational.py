@@ -1,0 +1,213 @@
+"""Relational operator suite over the driver's TPC-H-ish tables.
+
+These are the engine-breadth pipelines: scan (with column pruning at the
+read), vectorized filter/project, partial-then-final aggregation,
+broadcast hash join, top-k, distinct, event-time tumbling windows and
+sessionization — each the Ray-Data-idiomatic realization of a classic
+operator, and each paired with an ANSI-SQL oracle in __ray_entry__.py.
+
+Scale discipline:
+- every read passes ``columns=[...]`` (prune at the read);
+- aggregations pre-combine inside map_batches (one row per key per
+  batch) before the small groupby shuffle — the partial/final pattern;
+- the join broadcasts the small side via ray.put once, probed per batch
+  (no shuffle);
+- top-k keeps a per-batch heap then merges k·B rows on the driver
+  instead of sorting the whole table;
+- all float aggregates are rounded to 4 decimals so the DuckDB oracle
+  hashes byte-identically.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+from ..functions.compat import round_half_away
+from ray.data.aggregate import Count, Sum
+
+
+def _read(sf_dir: str, table: str, columns: list[str]) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# Q1-style pricing summary: partial-agg inside map_batches, tiny final shuffle
+
+def pricing_summary(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_discount"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        disc_price = pc.multiply(batch["l_extendedprice"],
+                                 pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        t = batch.append_column("disc_price", disc_price)
+        return t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ("l_extendedprice", "sum"),
+             ("disc_price", "sum"), ("l_quantity", "count")])
+
+    final = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity_sum", alias_name="sum_qty"),
+            Sum("l_extendedprice_sum", alias_name="sum_base_price"),
+            Sum("disc_price_sum", alias_name="sum_disc_price"),
+            Sum("l_quantity_count", alias_name="n_rows"),
+        )
+        .to_pandas()
+    )
+    final["avg_qty"] = round_half_away(final["sum_qty"] / final["n_rows"])
+    final["avg_price"] = round_half_away(final["sum_base_price"] / final["n_rows"])
+    for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
+        final[c] = round_half_away(final[c])
+    final["n_rows"] = final["n_rows"].astype("int64")
+    return final.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# broadcast hash join: orders ⋈ customer (small side via ray.put, no shuffle)
+
+def segment_revenue(sf_dir: str) -> pd.DataFrame:
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    cust_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    class JoinPartial:
+        """Actor-pool stage: the broadcast map is fetched ONCE per actor."""
+
+        def __init__(self):
+            self.seg = ray.get(cust_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            segs = pd.Series(batch["o_custkey"].to_numpy()).map(self.seg)
+            t = pa.table({
+                "c_mktsegment": pa.array(segs, pa.string()),
+                "o_totalprice": batch["o_totalprice"],
+            })
+            return t.group_by(["c_mktsegment"]).aggregate(
+                [("o_totalprice", "sum"), ("o_totalprice", "count")])
+
+    out = (
+        ds.map_batches(JoinPartial, batch_format="pyarrow", concurrency=2)
+        .groupby("c_mktsegment")
+        .aggregate(Sum("o_totalprice_sum", alias_name="revenue"),
+                   Sum("o_totalprice_count", alias_name="n_orders"))
+        .to_pandas()
+    )
+    out["revenue"] = round_half_away(out["revenue"])
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# top-k without a full sort: per-batch partial top-k, driver merge
+
+def top_orders(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def batch_topk(batch: pa.Table) -> pa.Table:
+        n = min(k, batch.num_rows)
+        idx = pc.select_k_unstable(
+            batch, k=n, sort_keys=[("o_totalprice", "descending"),
+                                   ("o_orderkey", "ascending")])
+        return batch.take(idx)
+
+    parts = [b for b in ds.map_batches(batch_topk, batch_format="pyarrow")
+             .iter_batches(batch_format="pyarrow")]
+    merged = pa.concat_tables(parts).to_pandas()
+    merged = merged.sort_values(["o_totalprice", "o_orderkey"],
+                                ascending=[False, True]).head(k)
+    merged["o_totalprice"] = round_half_away(merged["o_totalprice"])
+    return merged.reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# distinct (shuffle op)
+
+def distinct_event_types(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "events", ["event_type"])
+    vals = sorted(ds.unique("event_type"))
+    return pd.DataFrame({"event_type": vals})
+
+
+# ---------------------------------------------------------------------------
+# vectorized filter + project with predicate/column pushdown at the read
+
+def high_value_lineitems(sf_dir: str) -> pd.DataFrame:
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"],
+        filter=(pc.field("l_extendedprice") > 90_000.0),
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        rev = pc.round(
+            pc.multiply(batch["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), batch["l_discount"])),
+            ndigits=4, round_mode="half_towards_infinity")
+        return pa.table({
+            "l_orderkey": batch["l_orderkey"],
+            "l_linenumber": batch["l_linenumber"],
+            "revenue": rev,
+        })
+
+    out = ds.map_batches(project, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["l_orderkey", "l_linenumber"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# event-time tumbling window (Ray Data has no watermarks: the batch
+# realization is groupby(key, window_start), SURVEY.md §2.9)
+
+def hourly_event_stats(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def add_window(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch["ts"], unit="hour")
+        t = pa.table({
+            "event_type": batch["event_type"],
+            "window_start": hour,
+            "value": batch["value"],
+        })
+        return t.group_by(["event_type", "window_start"]).aggregate(
+            [("value", "sum"), ("value", "count")])
+
+    out = (
+        ds.map_batches(add_window, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(Sum("value_sum", alias_name="sum_value"),
+                   Sum("value_count", alias_name="n_events"))
+        .to_pandas()
+    )
+    out["sum_value"] = round_half_away(out["sum_value"])
+    out["n_events"] = out["n_events"].astype("int64")
+    return out.sort_values(["event_type", "window_start"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# sessionization: per-key ordered state via groupby().map_groups
+
+def user_sessions(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    gap = np.timedelta64(gap_minutes * 60, "s")
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].sort_values().to_numpy()
+        breaks = int((np.diff(ts) > gap).sum()) if len(ts) > 1 else 0
+        return pd.DataFrame({
+            "user_id": [g["user_id"].iloc[0]],
+            "n_sessions": np.array([breaks + 1], dtype="int64"),
+            "n_events": np.array([len(ts)], dtype="int64"),
+        })
+
+    out = (ds.groupby("user_id")
+           .map_groups(sessions, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values("user_id").reset_index(drop=True)

@@ -1,0 +1,100 @@
+"""Driver-contract parity: every queries() entry with an oracle_sql()
+entry must match DuckDB on row count, column names and (order-insensitive)
+values at sf0.01 — a local mirror of the driver's correctness gate."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split()
+
+
+@pytest.fixture(scope="module")
+def entrymod(ray_session):
+    import __ray_entry__ as e
+
+    return e
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+              f"read_parquet('{SF_DIR}/{t}.parquet')")
+    return c
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.copy()
+    df = df[sorted(df.columns)]
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+        elif pd.api.types.is_bool_dtype(df[c]):
+            df[c] = df[c].astype("bool")
+        else:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def to_pandas(obj) -> pd.DataFrame:
+    import pyarrow as pa
+    import ray.data as rd
+
+    if isinstance(obj, rd.Dataset):
+        return obj.to_pandas()
+    if isinstance(obj, pa.Table):
+        return obj.to_pandas()
+    return obj
+
+
+ORACLE_KEYS = [
+    "crawl_spans_flatten", "crawl_extract_resources", "crawl_span_stats",
+    "pricing_summary", "segment_revenue", "top_orders",
+    "distinct_event_types", "high_value_lineitems", "hourly_event_stats",
+    "user_sessions", "text_token_count", "text_quality", "text_fingerprint",
+    "dedup_exact", "dedup_embedding_cosine", "ann_brute_force_topk",
+    "multimodal_media_meta",
+]
+
+
+@pytest.mark.parametrize("name", ORACLE_KEYS)
+def test_query_matches_oracle(entrymod, con, name):
+    q = entrymod.queries()[name]
+    sql = entrymod.oracle_sql()[name]
+    got = normalize(to_pandas(q(SF_DIR)))
+    want = normalize(con.sql(sql).df())
+    assert list(got.columns) == list(want.columns), \
+        f"{name}: columns {list(got.columns)} != {list(want.columns)}"
+    assert len(got) == len(want), f"{name}: {len(got)} rows != {len(want)}"
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_every_oracle_key_has_query(entrymod):
+    qs, sqls = entrymod.queries(), entrymod.oracle_sql()
+    assert set(sqls) <= set(qs)
+    assert set(ORACLE_KEYS) == set(sqls)
+
+
+def test_rows_only_queries_run(entrymod):
+    """Queries without oracles still run and return stable non-degenerate
+    results at sf0.01."""
+    qs = entrymod.queries()
+    rows_only = set(qs) - set(entrymod.oracle_sql())
+    for name in sorted(rows_only):
+        out = to_pandas(qs[name](SF_DIR))
+        assert out is not None and out.shape[1] >= 1, name
+        if name not in ("dedup_ngram_jaccard", "dedup_simhash_pairs"):
+            assert len(out) > 0, name
+
+
+def test_entry_smoke(entrymod):
+    out = to_pandas(entrymod.entry())
+    assert len(out) >= 0 and out.shape[1] >= 1
