@@ -33,6 +33,8 @@ import posixpath
 import re
 from urllib.parse import urljoin, urlsplit, urlunsplit
 
+import numpy as np
+
 _DEFAULT_PORTS = {"http": "80", "https": "443"}
 
 # Fast path: already-absolute, already-canonical URL with no fragment,
@@ -181,6 +183,86 @@ def asset_save_path(url: str) -> str:
 def link_save_path(url: str) -> str:
     """Link target's would-be local path (internal/models.go:97)."""
     return resolve_local_save_path(url, "", "html")
+
+
+def canonicalize_batch(refs, bases, strict_rfc3986: bool = True,
+                       fallback: "Canonicalizer | None" = None):
+    """Vectorized canonicalization of (ref, base) pairs.
+
+    Fast paths (numpy/pandas string kernels, no urllib):
+    - already-canonical absolute http(s) URLs -> kept as-is;
+    - root-relative "/path"  -> base origin + path;
+    - bare-relative "p/x"    -> base dir + "/" + path.
+    Anything irregular (other schemes, "//host", dot-segments, uppercase
+    scheme/host, ports, empty) falls back to the exact per-item
+    :class:`Canonicalizer` — identical semantics, just slower. The same
+    function therefore serves conformance AND the hot path.
+
+    Returns (canon: object ndarray with None for unparsable,
+             same_host: bool ndarray vs each base's host).
+
+    Bases MUST be canonical absolute http(s) URLs (frontier invariant).
+    """
+    import pandas as pd
+
+    refs = pd.Series(refs, dtype="object")
+    bases = pd.Series(bases, dtype="object")
+    n = len(refs)
+    out = np.empty(n, dtype=object)
+    same = np.zeros(n, dtype=bool)
+
+    nofrag = refs.str.split("#", n=1).str[0]
+    # base decomposition (vectorized): origin = scheme://host, dir = up to
+    # the last '/'
+    b_origin_host = bases.str.extract(r"^(https?://([^/]+))", expand=True)
+    b_origin = b_origin_host[0]
+    b_host = b_origin_host[1]
+    b_dir = bases.str.rsplit("/", n=1).str[0]
+
+    dotty = (nofrag.str.contains("..", regex=False)
+             | nofrag.str.contains("/./", regex=False)
+             | nofrag.str.startswith("./")
+             | (nofrag == "."))
+    has_colon = nofrag.str.contains(":", regex=False)
+
+    is_abs = nofrag.str.startswith("https://") | nofrag.str.startswith("http://")
+    abs_host = nofrag.str.extract(r"^https?://([^/?#]*)", expand=False)
+    abs_simple = (is_abs & ~dotty
+                  & (abs_host == abs_host.str.lower())
+                  & ~abs_host.str.contains(":", regex=False).fillna(True)
+                  & ~abs_host.str.contains("@", regex=False).fillna(True))
+
+    is_root = (~has_colon & nofrag.str.startswith("/")
+               & ~nofrag.str.startswith("//") & ~dotty)
+    is_rel = (~has_colon & ~nofrag.str.startswith("/")
+              & ~nofrag.str.startswith(".") & ~dotty
+              & (nofrag != "") & ~nofrag.str.startswith("?"))
+
+    m = abs_simple.to_numpy(dtype=bool)
+    if m.any():
+        out[m] = nofrag[m].to_numpy(dtype=object)
+        same[m] = (abs_host[m] == b_host[m]).to_numpy(dtype=bool)
+    m = is_root.to_numpy(dtype=bool)
+    if m.any():
+        out[m] = (b_origin[m] + nofrag[m]).to_numpy(dtype=object)
+        same[m] = True
+    m = is_rel.to_numpy(dtype=bool)
+    if m.any():
+        out[m] = (b_dir[m] + "/" + nofrag[m]).to_numpy(dtype=object)
+        same[m] = True
+
+    rest = ~(abs_simple | is_root | is_rel).to_numpy(dtype=bool)
+    if rest.any():
+        canon = fallback or Canonicalizer(strict_rfc3986)
+        ridx = np.nonzero(rest)[0]
+        r_refs = refs.to_numpy(dtype=object)
+        r_bases = bases.to_numpy(dtype=object)
+        bh = b_host.to_numpy(dtype=object)
+        for i in ridx:
+            u = canon(r_refs[i], r_bases[i])
+            out[i] = u
+            same[i] = u is not None and host_of(u) == bh[i]
+    return out, same
 
 
 def make_relative_url(root_path: str, local_path: str) -> str:

@@ -184,7 +184,12 @@ class Crawler:
 
     def __init__(self, corpus: pa.Table, config: CrawlConfig | None = None):
         self.cfg = config or CrawlConfig()
-        self.corpus_ref = ray.put(corpus)
+        from ..stages.fetch import build_corpus_index
+
+        hs, perm = build_corpus_index(corpus.column("doc_id").to_pylist())
+        corpus = corpus.combine_chunks()
+        # broadcast (table, prebuilt hash index) ONCE; workers zero-copy it
+        self.corpus_ref = ray.put((corpus, hs, perm))
         self.seen = ShardedSeenSet(self.cfg.num_seen_shards,
                                    mode=self.cfg.seen_mode,
                                    salt_k=self.cfg.salt_k)
@@ -335,39 +340,63 @@ class Crawler:
         n = current.num_rows
         docs_round = None
         cands = None
+        phase_t: dict[str, float] = {}
+        t_mark = time.time()
+
+        def _mark(name: str) -> None:
+            nonlocal t_mark
+            now = time.time()
+            phase_t[name] = round(now - t_mark, 4)
+            t_mark = now
+
         if n:
-            nblocks = int(np.clip(n // cfg.batch_size + 1, 1, 64))
+            # size blocks so the round actually fans out: at least 2 blocks
+            # per fetch slot once the frontier is big enough, but no
+            # smaller than 256 rows per block (task overhead floor)
+            nblocks = int(np.clip(
+                min(n // 256 + 1, 2 * cfg.fetch_concurrency),
+                1, 256))
+            # keep batches = blocks: a batch_size below the block size makes
+            # Ray Data re-slice every block (measured 3-5x slower)
+            batch_rows = cfg.batch_size
             ds = rd.from_arrow(current)
             if nblocks > 1:
                 ds = ds.repartition(nblocks)
             ds = ds.map_batches(
                 _FetchFn(self.corpus_ref, cfg), batch_format="pyarrow",
-                batch_size=cfg.batch_size, concurrency=cfg.fetch_concurrency)
+                batch_size=batch_rows, concurrency=cfg.fetch_concurrency)
             ds = ds.map_batches(
                 _ParseFn(cfg.strict_rfc3986), batch_format="pyarrow",
-                batch_size=cfg.batch_size)
-            parsed = ds.materialize()           # the round barrier
-
-            cand_batches = [b for b in parsed.map_batches(
-                explode_children, batch_format="pyarrow")
-                .iter_batches(batch_format="pyarrow") if b.num_rows]
-            cands = pa.concat_tables(cand_batches, promote_options="default") \
-                if cand_batches else None
-
+                batch_size=batch_rows)
             if cfg.write_docs:
-                docs = parsed.drop_columns(["children"]).map_batches(
+                ds = ds.map_batches(
                     _SaveFn(cfg.strict_rfc3986, cfg.localize),
-                    batch_format="pyarrow", batch_size=cfg.batch_size)
-                doc_batches = [b for b in
-                               docs.iter_batches(batch_format="pyarrow")
-                               if b.num_rows]
-                docs_round = pa.concat_tables(
-                    doc_batches, promote_options="default") \
-                    if doc_batches else None
-                if docs_round is not None:
+                    batch_format="pyarrow", batch_size=batch_rows)
+            # ONE streaming execution per round (fetch+parse+save fused);
+            # the driver consumes the stream — this is the round barrier.
+            round_batches = [b for b in ds.iter_batches(batch_format="pyarrow")
+                             if b.num_rows]
+            round_tbl = pa.concat_tables(round_batches,
+                                         promote_options="default") \
+                if round_batches else None
+            _mark("fetch_parse_save")
+
+            if round_tbl is not None:
+                # candidate explode is pure Arrow kernels over round-bounded
+                # rows: driver-side here; becomes its own map_batches stage
+                # when politeness caps stop bounding round size (huge rounds)
+                cands = explode_children(round_tbl)
+                if cands.num_rows == 0:
+                    cands = None
+                _mark("explode")
+
+                if cfg.write_docs:
+                    docs_round = round_tbl.drop_columns(
+                        ["children", "span_canon"])
                     docs_round = docs_round.rename_columns(
                         ["doc_id" if c == "url" else c
                          for c in docs_round.column_names])
+                _mark("save")
 
         # ---- robots-blocked rows become skipped docs (no fetch) ----
         if robots_blocked is not None and robots_blocked.num_rows:
@@ -416,6 +445,7 @@ class Crawler:
             else:
                 self._docs_mem.append(docs_round)
 
+        _mark("persist")
         # ---- accept next frontier ----
         if cands is not None and cands.num_rows:
             self._frontier = self._accept_candidates(cands)
@@ -423,13 +453,17 @@ class Crawler:
             self._frontier = _empty_frontier()
         if self._frontier.num_rows:
             self._visit_parts.append(self._frontier)
+        _mark("accept")
 
         self._checkpoint()
+        _mark("checkpoint")
         self.metrics["rounds"].append({
             "round": self.round, "frontier": n,
+            "candidates": 0 if cands is None else cands.num_rows,
             "accepted_next": self._frontier.num_rows,
             "deferred": self._deferred.num_rows,
             "sec": round(time.time() - t0, 4),
+            "phases": phase_t,
         })
         self.round += 1
 
@@ -521,7 +555,10 @@ class Crawler:
             manifest = json.load(f)
         self = cls.__new__(cls)
         self.cfg = cfg
-        self.corpus_ref = ray.put(corpus)
+        from ..stages.fetch import build_corpus_index
+
+        hs, perm = build_corpus_index(corpus.column("doc_id").to_pylist())
+        self.corpus_ref = ray.put((corpus.combine_chunks(), hs, perm))
         self.seen = ShardedSeenSet(cfg.num_seen_shards, mode=cfg.seen_mode,
                                    salt_k=cfg.salt_k)
         self.robots = None

@@ -17,8 +17,14 @@ Reproduced semantics:
 - only pages parse (assets have no children: queue routing
   internal/queue.go:57-60); download-skipped pages yield zero children.
 
-The stage is a callable class so the memoizing canonicalizer (compiled
-regex + (base, ref) cache) is built once per actor (ST2/S3 idiom).
+Canonicalization is the vectorized ``canonicalize_batch`` (pandas string
+kernels for the regular ref shapes, exact per-item fallback for odd
+ones). The stage also emits ``span_canon`` — per span, the canonical
+same-host URL or "" for dropped/text spans — so the save-side transform
+(T1) never re-canonicalizes.
+
+The stage is a callable class so the fallback canonicalizer's memo cache
+is built once per worker (ST2/S3 idiom).
 """
 
 from __future__ import annotations
@@ -27,7 +33,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..functions.urlnorm import Canonicalizer, host_of
+from ..functions.urlnorm import Canonicalizer, canonicalize_batch
 from ..schemas import RESOURCE_KINDS
 
 CHILD_STRUCT = pa.struct(
@@ -37,83 +43,71 @@ CHILD_STRUCT = pa.struct(
 
 class ParseStage:
     """map_batches callable: + children:list<struct<url,kind,position>>,
-    n_children:int32."""
+    span_canon:list<string>, n_children:int32."""
 
     def __init__(self, strict_rfc3986: bool = True):
+        self.strict = strict_rfc3986
         self.canon = Canonicalizer(strict_rfc3986)
-        self._host_cache: dict[str, str] = {}
-
-    def _host(self, url: str) -> str:
-        h = self._host_cache.get(url)
-        if h is None:
-            h = self._host_cache[url] = host_of(url)
-        return h
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         spans = batch.column("spans")
         spans = spans.combine_chunks() if isinstance(spans, pa.ChunkedArray) else spans
-        urls = batch.column("url").to_pylist()
-        kinds = batch.column("kind").to_pylist()
-        skipped = batch.column("skipped_on").to_pylist()
+        kinds = np.asarray(batch.column("kind").to_pylist(), dtype=object)
+        skipped = np.asarray(batch.column("skipped_on").to_pylist(), dtype=object)
+        urls = np.asarray(batch.column("url").to_pylist(), dtype=object)
 
-        # flatten resource spans with parent row indices
-        parent = pc.list_parent_indices(spans).to_numpy(zero_copy_only=False)
+        parent = pc.list_parent_indices(spans).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
         flat = spans.flatten()
-        if len(parent):
-            skind = flat.field("kind").to_numpy(zero_copy_only=False)
-            is_res = np.isin(skind, RESOURCE_KINDS)
-        else:
-            skind = np.array([], dtype=object)
-            is_res = np.zeros(0, dtype=bool)
+        n_flat = len(flat)
+        flat_canon = np.full(n_flat, "", dtype=object)
 
-        # candidate selection: parent must be a live page
-        parent_ok = np.fromiter(
-            ((kinds[i] == "page") and (skipped[i] == "") for i in range(n)),
-            dtype=bool, count=n)
-        keep = is_res & parent_ok[parent] if len(parent) else is_res
+        if n_flat:
+            skind = np.asarray(flat.field("kind").to_pylist(), dtype=object)
+            is_res = np.isin(skind, RESOURCE_KINDS)
+            parent_ok = (kinds == "page") & (skipped == "")
+            keep = is_res & parent_ok[parent]
+        else:
+            keep = np.zeros(0, dtype=bool)
 
         sel = np.nonzero(keep)[0]
-        refs = flat.field("media_ref").take(pa.array(sel)).to_pylist()
-        sel_parent = parent[sel]
-        sel_kind = skind[sel]
+        m = 0
+        if sel.size:
+            refs = np.asarray(
+                flat.field("media_ref").take(pa.array(sel)).to_pylist(),
+                dtype=object)
+            sel_parent = parent[sel]
+            bases = urls[sel_parent]
+            canon, same = canonicalize_batch(refs, bases, self.strict,
+                                             fallback=self.canon)
+            ok = same & np.array([u is not None for u in canon], dtype=bool)
+            flat_canon[sel[ok]] = canon[ok]
 
-        canon = self.canon
-        child_urls: list[str] = []
-        child_kind: list[str] = []
-        child_parent: list[int] = []
-        child_is_asset: list[bool] = []
-        child_span_pos: list[int] = []
-        for j, ref in enumerate(refs):
-            p = int(sel_parent[j])
-            base = urls[p]
-            u = canon(ref, base)
-            if u is None or self._host(u) != self._host(base):
-                continue
-            is_asset = sel_kind[j] != "link"
-            child_urls.append(u)
-            child_kind.append("asset" if is_asset else "page")
-            child_parent.append(p)
-            child_is_asset.append(is_asset)
-            child_span_pos.append(j)
+            ok_idx = np.nonzero(ok)[0]
+            child_parent = sel_parent[ok_idx]
+            child_urls = canon[ok_idx]
+            child_is_asset = np.asarray(
+                [skind[sel[i]] != "link" for i in ok_idx], dtype=bool)
+            m = len(ok_idx)
 
-        m = len(child_urls)
         if m:
             # GetChildren order: per parent, links then assets, doc order
-            order = np.lexsort((np.array(child_span_pos),
-                                np.array(child_is_asset),
-                                np.array(child_parent)))
-            cp = np.array(child_parent)[order]
-            cu = [child_urls[i] for i in order]
-            ck = [child_kind[i] for i in order]
+            order = np.lexsort((np.arange(m), child_is_asset, child_parent))
+            cp = child_parent[order]
+            cu = child_urls[order]
+            ck = np.where(child_is_asset[order], "asset", "page")
             counts = np.bincount(cp, minlength=n)
             offsets = np.zeros(n + 1, dtype=np.int32)
             np.cumsum(counts, out=offsets[1:])
             starts = offsets[:-1]
+            nz = counts > 0
             positions = np.arange(m, dtype=np.int32) - np.repeat(
-                starts[counts > 0].astype(np.int32), counts[counts > 0])
+                starts[nz].astype(np.int32), counts[nz])
             children_struct = pa.StructArray.from_arrays(
-                [pa.array(cu), pa.array(ck), pa.array(positions)],
+                [pa.array(list(cu), pa.string()),
+                 pa.array(list(ck), pa.string()),
+                 pa.array(positions)],
                 fields=list(CHILD_STRUCT))
             children = pa.ListArray.from_arrays(pa.array(offsets), children_struct)
             n_children = counts.astype(np.int32)
@@ -123,14 +117,23 @@ class ParseStage:
                 pa.array(offsets), pa.array([], type=CHILD_STRUCT))
             n_children = np.zeros(n, dtype=np.int32)
 
+        span_offsets = pc.list_value_length(spans).cast(pa.int32())
+        soff = np.zeros(n + 1, dtype=np.int32)
+        np.cumsum(span_offsets.to_numpy(zero_copy_only=False), out=soff[1:])
+        span_canon = pa.ListArray.from_arrays(
+            pa.array(soff), pa.array(list(flat_canon), pa.string()))
+
         out = batch.append_column("children", children)
+        out = out.append_column("span_canon", span_canon)
         return out.append_column("n_children", pa.array(n_children))
 
 
 def explode_children(batch: pa.Table) -> pa.Table:
     """children list column -> candidate rows (CANDIDATE_SCHEMA).
 
-    A stateless map_batches fn (flat_map shape, M5)."""
+    A stateless flat-map (M5). Host extraction is a vectorized substring
+    (children URLs are canonical absolute http(s) URLs by construction).
+    """
     children = batch.column("children")
     children = (children.combine_chunks()
                 if isinstance(children, pa.ChunkedArray) else children)
@@ -139,7 +142,12 @@ def explode_children(batch: pa.Table) -> pa.Table:
     seqs = batch.column("seq").take(parent)
     depths = pc.add(batch.column("depth").take(parent), 1).cast(pa.int32())
     urls = flat.field("url")
-    hosts = pa.array([host_of(u) for u in urls.to_pylist()])
+    import pandas as pd
+
+    hosts = pa.array(
+        pd.Series(urls.to_pylist(), dtype="object")
+        .str.extract(r"^https?://([^/]+)", expand=False).fillna(""),
+        pa.string())
     return pa.table(
         {
             "url": urls,

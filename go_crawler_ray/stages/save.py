@@ -14,9 +14,11 @@ Reference semantics:
   which preserves the per-row span-sequence invariant while giving the
   save sink real bytes to write.
 
-Vectorization note: save-path resolution and relativization are pure
-string functions; they run per unique URL with a per-actor memo table
-(URLs repeat heavily across a crawl's spans).
+Performance: the parse stage already canonicalized every resource span
+(``span_canon`` column: canonical same-host URL or "" for dropped spans),
+so this stage does NO URL parsing. Save paths and relativized refs are
+memoized per worker — crawl targets repeat heavily across pages, so the
+memo hit rate climbs toward 1 as the crawl proceeds.
 """
 
 from __future__ import annotations
@@ -25,29 +27,21 @@ import numpy as np
 import pyarrow as pa
 
 from ..functions.urlnorm import (
-    Canonicalizer,
     asset_save_path,
-    host_of,
     link_save_path,
     make_relative_url,
     page_save_path,
 )
-from ..schemas import RESOURCE_KINDS
 
 
 class SaveStage:
-    """map_batches callable: + save_path:string, content:large_binary.
-
-    The rewrite needs the same canonicalization the parse stage did (to
-    know which spans were kept and what their absolute URL is); the
-    memoizing canonicalizer is shared per actor.
-    """
+    """map_batches callable: + save_path:string, content:large_binary."""
 
     def __init__(self, strict_rfc3986: bool = True, localize: bool = True):
-        self.canon = Canonicalizer(strict_rfc3986)
         self.localize = localize
         self._page_path: dict[str, str] = {}
         self._target_path: dict[tuple[str, bool], str] = {}
+        self._rel: dict[tuple[str, str], str] = {}
 
     def _save_path(self, url: str, kind: str) -> str:
         if kind == "page":
@@ -55,33 +49,36 @@ class SaveStage:
             if p is None:
                 p = self._page_path[url] = page_save_path(url)
             return p
-        key = (url, True)
+        key = (url, False)
         p = self._target_path.get(key)
         if p is None:
             p = self._target_path[key] = asset_save_path(url)
         return p
 
-    def _rewrite_ref(self, ref: str, span_kind: str, page_url: str,
-                     page_path: str) -> str:
-        """T1 per-span rewrite; returns the original ref when the span was
-        dropped at parse time (cross-host / unparsable)."""
-        u = self.canon(ref, page_url)
-        if u is None or host_of(u) != host_of(page_url):
-            return ref
-        target = link_save_path(u) if span_kind == "link" else asset_save_path(u)
-        return make_relative_url(page_path, target)
+    def _rewrite(self, canon: str, is_link: bool, page_dir_key: str) -> str:
+        tkey = (canon, is_link)
+        target = self._target_path.get(tkey)
+        if target is None:
+            target = self._target_path[tkey] = (
+                link_save_path(canon) if is_link else asset_save_path(canon))
+        rkey = (page_dir_key, target)
+        rel = self._rel.get(rkey)
+        if rel is None:
+            rel = self._rel[rkey] = make_relative_url(page_dir_key, target)
+        return rel
 
-    def render_content(self, url: str, kind: str, spans: list[dict],
-                       save_path: str) -> bytes:
+    def render_content(self, kind: str, spans: list[dict],
+                       canons: list[str], save_path: str) -> bytes:
         lines = []
         if kind == "page" and self.localize:
-            for s in spans:
-                if s["kind"] in RESOURCE_KINDS:
-                    new_ref = self._rewrite_ref(s["media_ref"], s["kind"],
-                                                url, save_path)
-                    lines.append(f"{s['kind']}\t{new_ref}")
-                else:
+            for s, c in zip(spans, canons):
+                k = s["kind"]
+                if k == "text":
                     lines.append(f"text\t{s['text']}")
+                elif c:
+                    lines.append(f"{k}\t{self._rewrite(c, k == 'link', save_path)}")
+                else:
+                    lines.append(f"{k}\t{s['media_ref']}")   # dropped: keep ref
         else:
             for s in spans:
                 payload = s["text"] if s["kind"] == "text" else s["media_ref"]
@@ -92,10 +89,14 @@ class SaveStage:
         urls = batch.column("url").to_pylist()
         kinds = batch.column("kind").to_pylist()
         spans_col = batch.column("spans").to_pylist()
+        if "span_canon" in batch.column_names:
+            canon_col = batch.column("span_canon").to_pylist()
+        else:
+            canon_col = [[""] * len(s) for s in spans_col]
         paths = [self._save_path(u, k) for u, k in zip(urls, kinds)]
         contents = [
-            self.render_content(u, k, s, p)
-            for u, k, s, p in zip(urls, kinds, spans_col, paths)
+            self.render_content(k, s, c, p)
+            for k, s, c, p in zip(kinds, spans_col, canon_col, paths)
         ]
         out = batch.append_column("save_path", pa.array(paths, type=pa.string()))
         return out.append_column("content",
