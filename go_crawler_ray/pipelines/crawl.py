@@ -94,6 +94,7 @@ class CrawlConfig:
     retry_delay: float = 0.0             # 0 in tests; 1.0 mirrors reference default
     transient_fail_rate: float = 0.0
     localize: bool = True                # run the T1 transform in save
+    enrich_docs: bool = False            # + fingerprint/n_tokens per doc
     write_docs: bool = True
 
 
@@ -138,14 +139,42 @@ class _ParseFn:
 
 
 class _SaveFn:
-    def __init__(self, strict: bool, localize: bool):
-        self.key = (strict, localize)
+    """Save stage; with ``out_dir`` set, each batch writes its full docs
+    rows (content included) straight to a parquet part file from the
+    WORKER and returns only the slim columns — document content never
+    crosses to the driver (at 100 TB it can't). Part files are uuid-named:
+    a task retry may leave a duplicate part; readers needing exactly-once
+    dedupe on (doc_id) which is unique per crawl."""
+
+    def __init__(self, strict: bool, localize: bool,
+                 out_dir: str | None = None, round_no: int = 0,
+                 enrich: bool = False):
+        self.key = (strict, localize, enrich)
+        self.out_dir = out_dir
+        self.round_no = round_no
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         st = _SAVE_CACHE.get(self.key)
         if st is None:
-            st = _SAVE_CACHE[self.key] = SaveStage(*self.key)
-        return st(batch)
+            st = _SAVE_CACHE[self.key] = SaveStage(
+                self.key[0], self.key[1], enrich=self.key[2])
+        out = st(batch)
+        if self.out_dir is not None and out.num_rows:
+            import uuid
+
+            full = out.rename_columns(
+                ["doc_id" if c == "url" else c for c in out.column_names])
+            full = full.drop_columns(["children", "span_canon"])
+            full = full.append_column(
+                "round", pa.array(
+                    np.full(full.num_rows, self.round_no, dtype=np.int32)))
+            pq.write_table(full, os.path.join(
+                self.out_dir,
+                f"round-{self.round_no:05d}-{uuid.uuid4().hex[:12]}.parquet"))
+            out = out.drop_columns(
+                [c for c in ("content", "spans", "span_canon")
+                 if c in out.column_names])
+        return out
 
 
 @dataclass
@@ -187,8 +216,8 @@ class Crawler:
         from ..stages.fetch import build_corpus_index
 
         hs, perm = build_corpus_index(corpus.column("doc_id").to_pylist())
-        corpus = corpus.combine_chunks()
         # broadcast (table, prebuilt hash index) ONCE; workers zero-copy it
+        # (no combine_chunks: nested children can exceed the 2 GB chunk cap)
         self.corpus_ref = ray.put((corpus, hs, perm))
         self.seen = ShardedSeenSet(self.cfg.num_seen_shards,
                                    mode=self.cfg.seen_mode,
@@ -262,27 +291,26 @@ class Crawler:
         order = np.lexsort((pos, ps))
         cand = cand.take(pa.array(order))
 
-        urls = cand.column("url").to_pylist()
-        hosts = cand.column("host").to_pylist()
         # in-batch first occurrence (single-push semantics for duplicates
-        # within one round), then cross-round membership via shard actors
-        first_idx: dict[str, int] = {}
-        keep_first = np.zeros(len(urls), dtype=bool)
-        for i, u in enumerate(urls):
-            if u not in first_idx:
-                first_idx[u] = i
-                keep_first[i] = True
-        fi = np.nonzero(keep_first)[0]
-        novel = self.seen.check_and_insert([urls[i] for i in fi],
-                                           [hosts[i] for i in fi])
-        accepted_mask = np.zeros(len(urls), dtype=bool)
+        # within one round, queue.go:92-96), vectorized: dictionary-encode
+        # the url column and keep each code's first index in push order
+        url_col = cand.column("url").combine_chunks()
+        codes = pc.dictionary_encode(url_col).indices.to_numpy(
+            zero_copy_only=False)
+        _, fi = np.unique(codes, return_index=True)
+        fi.sort()
+        first_tbl = cand.take(pa.array(fi))
+        novel = self.seen.check_and_insert_arrow(
+            first_tbl.column("url").combine_chunks(),
+            first_tbl.column("host").combine_chunks())
+        accepted_mask = np.zeros(cand.num_rows, dtype=bool)
         accepted_mask[fi] = novel
-        self.metrics["dedup_rejected"] += int(len(urls) - accepted_mask.sum())
+        self.metrics["dedup_rejected"] += int(cand.num_rows - accepted_mask.sum())
 
         acc = cand.filter(pa.array(accepted_mask))
         # page budget in order: enqueue-time, refused pages stay seen
-        kinds = acc.column("kind").to_pylist()
-        is_page = np.array([k == "page" for k in kinds], dtype=bool)
+        is_page = pc.equal(acc.column("kind"), "page").to_numpy(
+            zero_copy_only=False)
         budget_left = self.cfg.max_count - self.pages_queued
         page_rank = np.cumsum(is_page)          # 1-based rank among pages
         enqueue = ~is_page | (page_rank <= budget_left)
@@ -359,9 +387,14 @@ class Crawler:
             # keep batches = blocks: a batch_size below the block size makes
             # Ray Data re-slice every block (measured 3-5x slower)
             batch_rows = cfg.batch_size
-            ds = rd.from_arrow(current)
             if nblocks > 1:
-                ds = ds.repartition(nblocks)
+                # pre-sliced blocks: zero-copy table slices avoid a
+                # Repartition all-to-all operator (a measured barrier)
+                step = -(-n // nblocks)
+                slices = [current.slice(i, step) for i in range(0, n, step)]
+                ds = rd.from_arrow(slices)
+            else:
+                ds = rd.from_arrow(current)
             ds = ds.map_batches(
                 _FetchFn(self.corpus_ref, cfg), batch_format="pyarrow",
                 batch_size=batch_rows, concurrency=cfg.fetch_concurrency)
@@ -370,7 +403,9 @@ class Crawler:
                 batch_size=batch_rows)
             if cfg.write_docs:
                 ds = ds.map_batches(
-                    _SaveFn(cfg.strict_rfc3986, cfg.localize),
+                    _SaveFn(cfg.strict_rfc3986, cfg.localize,
+                            out_dir=self.docs_dir, round_no=self.round,
+                            enrich=cfg.enrich_docs),
                     batch_format="pyarrow", batch_size=batch_rows)
             # ONE streaming execution per round (fetch+parse+save fused);
             # the driver consumes the stream — this is the round barrier.
@@ -392,7 +427,8 @@ class Crawler:
 
                 if cfg.write_docs:
                     docs_round = round_tbl.drop_columns(
-                        ["children", "span_canon"])
+                        [c for c in ("children", "span_canon")
+                         if c in round_tbl.column_names])
                     docs_round = docs_round.rename_columns(
                         ["doc_id" if c == "url" else c
                          for c in docs_round.column_names])
@@ -418,32 +454,34 @@ class Crawler:
             rbt = save(rbt)
             rbt = rbt.rename_columns(
                 ["doc_id" if c == "url" else c for c in rbt.column_names])
+            if self.docs_dir:
+                full = rbt.append_column("round", pa.array(
+                    np.full(rbt.num_rows, self.round, dtype=np.int32)))
+                pq.write_table(full, os.path.join(
+                    self.docs_dir, f"round-{self.round:05d}-robots.parquet"))
+                rbt = rbt.drop_columns(["content", "spans"])
             docs_round = (pa.concat_tables([docs_round, rbt],
                                            promote_options="default")
                           if docs_round is not None else rbt)
 
         # ---- persist docs + frontier + seen-delta (checkpoint) ----
+        # (with docs_dir set, workers already wrote the full rows; the
+        # driver only tallies metrics from the slim columns)
         if docs_round is not None:
-            self.metrics["bytes_content"] += sum(
-                len(c) for c in docs_round.column("content").to_pylist())
-            st = docs_round.column("status").to_pylist()
-            kd = docs_round.column("kind").to_pylist()
-            so = docs_round.column("skipped_on").to_pylist()
-            self.metrics["pages_fetched"] += sum(
-                1 for s, k in zip(st, kd) if k == "page" and s == "ok")
-            self.metrics["assets_fetched"] += sum(
-                1 for s, k in zip(st, kd) if k != "page" and s == "ok")
-            self.metrics["skipped_download"] += sum(
-                1 for x in so if x == "download")
-            rc = pa.array(np.full(docs_round.num_rows, self.round,
-                                  dtype=np.int32))
-            docs_round = docs_round.append_column("round", rc)
-            if self.docs_dir:
-                pq.write_table(docs_round,
-                               os.path.join(self.docs_dir,
-                                            f"round-{self.round:05d}.parquet"))
-            else:
-                self._docs_mem.append(docs_round)
+            self.metrics["bytes_content"] += int(pc.sum(
+                docs_round.column("content_size")).as_py() or 0)
+            ok = pc.equal(docs_round.column("status"), "ok")
+            is_pg = pc.equal(docs_round.column("kind"), "page")
+            self.metrics["pages_fetched"] += int(pc.sum(
+                pc.and_(ok, is_pg)).as_py() or 0)
+            self.metrics["assets_fetched"] += int(pc.sum(
+                pc.and_(ok, pc.invert(is_pg))).as_py() or 0)
+            self.metrics["skipped_download"] += int(pc.sum(pc.equal(
+                docs_round.column("skipped_on"), "download")).as_py() or 0)
+            if not self.docs_dir:
+                rc = pa.array(np.full(docs_round.num_rows, self.round,
+                                      dtype=np.int32))
+                self._docs_mem.append(docs_round.append_column("round", rc))
 
         _mark("persist")
         # ---- accept next frontier ----
@@ -558,7 +596,7 @@ class Crawler:
         from ..stages.fetch import build_corpus_index
 
         hs, perm = build_corpus_index(corpus.column("doc_id").to_pylist())
-        self.corpus_ref = ray.put((corpus.combine_chunks(), hs, perm))
+        self.corpus_ref = ray.put((corpus, hs, perm))
         self.seen = ShardedSeenSet(cfg.num_seen_shards, mode=cfg.seen_mode,
                                    salt_k=cfg.salt_k)
         self.robots = None

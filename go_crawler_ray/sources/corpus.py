@@ -43,6 +43,9 @@ _WORDS = (
 ).split()
 
 
+GEN_VERSION = "v2"   # bump when generator output changes (invalidates /tmp cache)
+
+
 @dataclass(frozen=True)
 class CorpusParams:
     n_hosts: int = 3
@@ -52,11 +55,13 @@ class CorpusParams:
     links_per_page: int = 5
     cross_host_frac: float = 0.10     # refs pointing at another host (dropped)
     dangling_frac: float = 0.08       # refs to URLs absent from the corpus
-    fragment_frac: float = 0.20       # link refs carrying #fragments
+    fragment_frac: float = 0.20      # link refs carrying #fragments
     relative_frac: float = 0.50       # refs written relative instead of absolute
     query_frac: float = 0.15          # asset refs carrying ?querystrings
     dup_link_asset_frac: float = 0.10 # asset URLs also emitted as links elsewhere
     text_spans_per_page: int = 4
+    text_words: int = 8               # words per text span (bench uses ~300 so
+    asset_words: int = 20             # per-URL content work is web-realistic)
     seed: int = 42
 
     @staticmethod
@@ -69,9 +74,10 @@ class CorpusParams:
             return CorpusParams(n_hosts=3, pages_per_host=40)
         if scale == "t2":       # ~5k docs
             return CorpusParams(n_hosts=5, pages_per_host=300)
-        if scale == "bench":    # ~200k docs
+        if scale == "bench":    # ~200k docs, ~10 KB per fetched page
             return CorpusParams(n_hosts=8, pages_per_host=8000,
-                                assets_per_page=4, links_per_page=8)
+                                assets_per_page=4, links_per_page=8,
+                                text_words=300, asset_words=600)
         raise ValueError(f"unknown corpus scale {scale!r}")
 
 
@@ -92,7 +98,7 @@ def _page_path(rng: random.Random, j: int) -> str:
 
 
 def _text(rng: random.Random, n: int = 8) -> str:
-    return " ".join(rng.choice(_WORDS) for _ in range(n))
+    return " ".join(rng.choices(_WORDS, k=n))
 
 
 def generate_corpus(params: CorpusParams) -> pa.Table:
@@ -181,17 +187,17 @@ def generate_corpus(params: CorpusParams) -> pa.Table:
             rng.shuffle(slots)
             for si, (kind, target) in enumerate(slots):
                 if si < n_text:
-                    spans.append({"kind": "text", "text": _text(rng), "media_ref": ""})
+                    spans.append({"kind": "text", "text": _text(rng, params.text_words), "media_ref": ""})
                 ref = rel_or_abs(target, page_url)
                 if kind == "link" and rng.random() < params.fragment_frac:
                     ref += f"#sec{rng.randrange(5)}"
                 spans.append({"kind": kind, "text": _text(rng, 2) if kind == "link" else "",
                               "media_ref": ref})
-            spans.append({"kind": "text", "text": _text(rng), "media_ref": ""})
+            spans.append({"kind": "text", "text": _text(rng, params.text_words), "media_ref": ""})
             add_doc(page_url, spans)
 
         for a_url in ha:
-            add_doc(a_url, [{"kind": "text", "text": _text(rng, 20), "media_ref": ""}])
+            add_doc(a_url, [{"kind": "text", "text": _text(rng, params.asset_words), "media_ref": ""}])
 
         # [NEW] robots.txt per host: disallow one directory prefix
         robots_body = f"User-agent: *\nDisallow: /dir{hi % 7}/\n"
@@ -204,7 +210,7 @@ def generate_corpus(params: CorpusParams) -> pa.Table:
 
 
 def corpus_path(scale: str, base_dir: str = "/tmp/graft_corpus") -> str:
-    return os.path.join(base_dir, scale, "corpus.parquet")
+    return os.path.join(base_dir, GEN_VERSION, scale, "corpus.parquet")
 
 
 def ensure_corpus(scale: str, base_dir: str = "/tmp/graft_corpus") -> str:
@@ -214,7 +220,7 @@ def ensure_corpus(scale: str, base_dir: str = "/tmp/graft_corpus") -> str:
         os.makedirs(os.path.dirname(path), exist_ok=True)
         tbl = generate_corpus(CorpusParams.for_scale(scale))
         tmp = path + ".tmp"
-        pq.write_table(tbl, tmp)
+        pq.write_table(tbl, tmp, row_group_size=20_000)
         os.replace(tmp, path)
     return path
 

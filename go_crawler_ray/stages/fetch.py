@@ -70,8 +70,12 @@ class InMemoryCorpusBackend:
 
     def __init__(self, table: pa.Table,
                  index: tuple[np.ndarray, np.ndarray] | None = None):
-        self.table = table.combine_chunks() if table.column("spans").num_chunks != 1 else table
-        self.spans = self.table.column("spans").chunk(0)
+        # spans stays a ChunkedArray: a bench-scale corpus's nested text
+        # child can exceed Arrow's 2 GB single-chunk offset limit, so we
+        # never combine_chunks the corpus (ChunkedArray.take handles
+        # global row indices across chunks)
+        self.table = table
+        self.spans = self.table.column("spans")
         if index is None:
             index = build_corpus_index(table.column("doc_id").to_pylist())
         self.hash_sorted, self.perm = index
@@ -94,11 +98,38 @@ class InMemoryCorpusBackend:
         return np.where(hit, self.perm[pos_c], -1)
 
     def take_spans(self, indices: np.ndarray) -> pa.Array:
-        """Gather spans; missing (-1) become null entries."""
+        """Gather spans; missing (-1) become null entries.
+
+        Chunk-aware: ChunkedArray.take concatenates all chunks first,
+        which overflows 32-bit offsets when the corpus's nested text child
+        exceeds 2 GB — so we take per chunk and merge only the
+        batch-sized result."""
         mask = indices < 0
-        safe = pa.array(np.where(mask, 0, indices), type=pa.int64(),
-                        mask=mask)
-        return self.spans.take(safe)
+        safe = np.where(mask, 0, indices).astype(np.int64)
+        spans = self.spans
+        if isinstance(spans, pa.ChunkedArray):
+            if spans.num_chunks == 1:
+                out = spans.chunk(0).take(pa.array(safe))
+            else:
+                lengths = np.fromiter((len(c) for c in spans.chunks),
+                                      dtype=np.int64, count=spans.num_chunks)
+                bounds = np.concatenate(([0], np.cumsum(lengths)))
+                cid = np.searchsorted(bounds, safe, side="right") - 1
+                local = safe - bounds[cid]
+                parts, order = [], []
+                for c in np.unique(cid):
+                    sel = np.nonzero(cid == c)[0]
+                    parts.append(spans.chunk(int(c)).take(pa.array(local[sel])))
+                    order.append(sel)
+                merged = pa.concat_arrays(parts)      # batch-sized: safe
+                inv = np.empty(len(safe), dtype=np.int64)
+                inv[np.concatenate(order)] = np.arange(len(safe))
+                out = merged.take(pa.array(inv))
+        else:
+            out = spans.take(pa.array(safe))
+        if mask.any():
+            out = pc.if_else(pa.array(mask), pa.nulls(len(out), out.type), out)
+        return out
 
     def get_spans(self, url: str):
         i = int(self.indices([url])[0])

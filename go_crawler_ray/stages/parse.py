@@ -142,12 +142,12 @@ def explode_children(batch: pa.Table) -> pa.Table:
     seqs = batch.column("seq").take(parent)
     depths = pc.add(batch.column("depth").take(parent), 1).cast(pa.int32())
     urls = flat.field("url")
-    import pandas as pd
-
-    hosts = pa.array(
-        pd.Series(urls.to_pylist(), dtype="object")
-        .str.extract(r"^https?://([^/]+)", expand=False).fillna(""),
-        pa.string())
+    # host = text between "://" and the next "/" — pure Arrow kernels
+    # (children are canonical absolute URLs; scheme is http or https)
+    stripped = pc.replace_substring_regex(urls, r"^https?://", "",
+                                          max_replacements=1)
+    hosts = pc.list_element(
+        pc.split_pattern(stripped, "/", max_splits=1), 0)
     return pa.table(
         {
             "url": urls,

@@ -37,8 +37,10 @@ from ..functions.urlnorm import (
 class SaveStage:
     """map_batches callable: + save_path:string, content:large_binary."""
 
-    def __init__(self, strict_rfc3986: bool = True, localize: bool = True):
+    def __init__(self, strict_rfc3986: bool = True, localize: bool = True,
+                 enrich: bool = False):
         self.localize = localize
+        self.enrich = enrich
         self._page_path: dict[str, str] = {}
         self._target_path: dict[tuple[str, bool], str] = {}
         self._rel: dict[tuple[str, str], str] = {}
@@ -99,8 +101,19 @@ class SaveStage:
             for k, s, c, p in zip(kinds, spans_col, canon_col, paths)
         ]
         out = batch.append_column("save_path", pa.array(paths, type=pa.string()))
-        return out.append_column("content",
-                                 pa.array(contents, type=pa.large_binary()))
+        out = out.append_column("content",
+                                pa.array(contents, type=pa.large_binary()))
+        if self.enrich:
+            # inline doc enrichment (what a training-data crawl computes at
+            # save time): content fingerprint + token count
+            import hashlib
+
+            fps = [hashlib.md5(c).hexdigest() for c in contents]
+            ntok = [c.count(b" ") + c.count(b"\n") + 1 for c in contents]
+            out = out.append_column("fingerprint", pa.array(fps, pa.string()))
+            out = out.append_column(
+                "n_tokens", pa.array(np.asarray(ntok, dtype=np.int64)))
+        return out
 
 
 def write_localized_tree(docs: pa.Table, out_dir: str) -> int:

@@ -62,9 +62,15 @@ class _SeenShardImpl:
         self.n_checked = 0
         self.n_inserted = 0
 
-    def check_and_insert(self, urls: list[str]) -> np.ndarray:
+    def check_and_insert(self, urls) -> np.ndarray:
         """For each url IN ORDER: True if newly inserted (never seen),
-        False if already seen. First occurrence within the list wins."""
+        False if already seen. First occurrence within the list wins.
+
+        Accepts a list[str] or a pyarrow Array (callers ship Arrow so the
+        string deserialization happens HERE, inside the shard actor, in
+        parallel across shards — not serially on the driver)."""
+        if not isinstance(urls, list):
+            urls = urls.to_pylist()
         n = len(urls)
         self.n_checked += n
         out = np.zeros(n, dtype=bool)
@@ -94,8 +100,10 @@ class _SeenShardImpl:
                                count=len(urls))
         return self.cuckoo.contains_many(urls)
 
-    def bulk_restore(self, urls: list[str]) -> int:
+    def bulk_restore(self, urls) -> int:
         """Re-insert without reporting novelty (checkpoint resume)."""
+        if not isinstance(urls, list):
+            urls = urls.to_pylist()
         if self.exact is not None:
             self.exact.update(urls)
         if self.cuckoo is not None:
@@ -161,6 +169,28 @@ class ShardedSeenSet:
             futures[int(s)] = (idx, self.actors[int(s)].check_and_insert.remote(
                 [urls[i] for i in idx]))
         for s, (idx, fut) in futures.items():
+            out[idx] = ray.get(fut)
+        return out
+
+    def check_and_insert_arrow(self, url_array, host_array) -> np.ndarray:
+        """Arrow-native dedup: URLs stay as Arrow buffers end-to-end; each
+        shard actor does its own to_pylist, so the driver's serial cost is
+        hashing + takes (the per-shard string materialization runs in
+        parallel inside the actors)."""
+        import pyarrow as pa
+
+        n = len(url_array)
+        if n == 0:
+            return np.zeros(0, dtype=bool)
+        sid = shard_of_many(url_array.to_pylist(), host_array.to_pylist(),
+                            self.num_shards, self.salt_k)
+        out = np.zeros(n, dtype=bool)
+        futures = []
+        for s in np.unique(sid):
+            idx = np.nonzero(sid == s)[0]
+            futures.append((idx, self.actors[int(s)].check_and_insert.remote(
+                url_array.take(pa.array(idx)))))
+        for idx, fut in futures:
             out[idx] = ray.get(fut)
         return out
 

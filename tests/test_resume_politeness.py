@@ -47,8 +47,11 @@ class TestResume:
         res = c.run([seed_url(0)])
         c.shutdown()
         files = sorted(os.listdir(os.path.join(ck, "docs")))
-        assert len(files) == res.rounds          # one parquet per round
         assert all(f.startswith("round-") for f in files)
+        # partitioned per round (workers write parts; >=1 part per round
+        # that produced docs)
+        rounds_with_parts = {f.split("-")[1] for f in files}
+        assert len(rounds_with_parts) == res.rounds
         ds = res.docs_dataset()
         assert ds.count() == len(res.visit_order)
 
