@@ -227,10 +227,11 @@ def canonicalize_batch(refs, bases, strict_rfc3986: bool = True,
 
     is_abs = nofrag.str.startswith("https://") | nofrag.str.startswith("http://")
     abs_host = nofrag.str.extract(r"^https?://([^/?#]*)", expand=False)
+    ah = abs_host.fillna("")            # NaN-free so boolean kernels stay bool
     abs_simple = (is_abs & ~dotty
-                  & (abs_host == abs_host.str.lower())
-                  & ~abs_host.str.contains(":", regex=False).fillna(True)
-                  & ~abs_host.str.contains("@", regex=False).fillna(True))
+                  & (ah == ah.str.lower())
+                  & ~ah.str.contains(":", regex=False)
+                  & ~ah.str.contains("@", regex=False))
 
     is_root = (~has_colon & nofrag.str.startswith("/")
                & ~nofrag.str.startswith("//") & ~dotty)

@@ -96,6 +96,15 @@ class CrawlConfig:
     localize: bool = True                # run the T1 transform in save
     enrich_docs: bool = False            # + fingerprint/n_tokens per doc
     write_docs: bool = True
+    # [NEW] priority frontier: callable (accepted-candidates pa.Table) ->
+    # int32 ndarray; lower = fetched earlier. None = 0 for all (pure FIFO,
+    # the reference-conformant order)
+    priority_fn: object = None
+    # frontier ordering runs on the driver below this row count (vectorized
+    # lexsort); above it, the sort becomes a Ray Data sort shuffle — the
+    # groupby/sort path of the north-star design for frontiers that exceed
+    # driver memory
+    driver_sort_threshold: int = 2_000_000
 
 
 class _FetchFn:
@@ -328,8 +337,11 @@ class Crawler:
                          dtype=np.int64)
         self.next_seq += acc.num_rows
         acc = acc.append_column("seq", pa.array(seqs))
-        acc = acc.append_column(
-            "priority", pa.array(np.zeros(acc.num_rows, dtype=np.int32)))
+        if self.cfg.priority_fn is not None:
+            prio = np.asarray(self.cfg.priority_fn(acc), dtype=np.int32)
+        else:
+            prio = np.zeros(acc.num_rows, dtype=np.int32)
+        acc = acc.append_column("priority", pa.array(prio))
         return acc.select(_FRONTIER_COLS)
 
     # -- one round --------------------------------------------------------
@@ -338,17 +350,29 @@ class Crawler:
         t0 = time.time()
         current = pa.concat_tables([self._deferred, self._frontier]) \
             if self._deferred.num_rows else self._frontier
-        # [NEW] priority frontier: (priority, seq) — deferred rows keep
-        # their old seq so they go first (FIFO fairness)
-        srt = np.lexsort((current.column("seq").to_numpy(zero_copy_only=False),
-                          current.column("priority").to_numpy(zero_copy_only=False)))
-        current = current.take(pa.array(srt))
+        # [NEW] priority frontier: order by (priority, seq) — deferred rows
+        # keep their old seq so they go first among equals (FIFO fairness).
+        # Small frontiers sort on the driver (vectorized lexsort); huge ones
+        # go through a Ray Data sort shuffle (the scale path — exercised in
+        # tests via a tiny threshold).
+        if current.num_rows > self.cfg.driver_sort_threshold:
+            sorted_ds = rd.from_arrow(current).sort(["priority", "seq"])
+            parts = [b for b in sorted_ds.iter_batches(batch_format="pyarrow")
+                     if b.num_rows]
+            current = pa.concat_tables(parts, promote_options="default")
+        elif current.num_rows:
+            srt = np.lexsort(
+                (current.column("seq").to_numpy(zero_copy_only=False),
+                 current.column("priority").to_numpy(zero_copy_only=False)))
+            current = current.take(pa.array(srt))
 
         robots_blocked = None
         if cfg.politeness_max_per_host:
             hosts = np.array(current.column("host").to_pylist())
-            seqs = current.column("seq").to_numpy(zero_copy_only=False)
-            admit = apply_host_tokens(hosts, seqs, cfg.politeness_max_per_host)
+            # rank = position in the (priority, seq)-sorted frontier, so
+            # admission honors priority then FIFO
+            rank = np.arange(current.num_rows, dtype=np.int64)
+            admit = apply_host_tokens(hosts, rank, cfg.politeness_max_per_host)
             self._deferred = current.filter(pa.array(~admit))
             self.metrics["deferred_total"] += int((~admit).sum())
             current = current.filter(pa.array(admit))
