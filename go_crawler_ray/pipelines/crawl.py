@@ -517,8 +517,6 @@ class Crawler:
             self._visit_parts.append(self._frontier)
         _mark("accept")
 
-        self._checkpoint()
-        _mark("checkpoint")
         self.metrics["rounds"].append({
             "round": self.round, "frontier": n,
             "candidates": 0 if cands is None else cands.num_rows,
@@ -527,6 +525,10 @@ class Crawler:
             "sec": round(time.time() - t0, 4),
             "phases": phase_t,
         })
+        self._checkpoint()
+        _mark("checkpoint")
+        self.metrics["rounds"][-1]["sec_checkpoint"] = phase_t.get(
+            "checkpoint", 0.0)
         self.round += 1
 
     def _checkpoint(self) -> None:
@@ -544,10 +546,23 @@ class Crawler:
                  if self._seen_extra_parts
                  else pa.table({"url": pa.array([], pa.string())}))
         pq.write_table(extra, os.path.join(rdir, "seen_extra.parquet"))
+        # per-partition lineage: which docs part files this round produced
+        # (workers write them; a resumed run can skip/verify completed
+        # partitions by listing the manifest chain)
+        docs_parts = []
+        if self.docs_dir and os.path.isdir(self.docs_dir):
+            prefix = f"round-{self.round:05d}-"
+            docs_parts = sorted(
+                f for f in os.listdir(self.docs_dir) if f.startswith(prefix))
         manifest = {
             "round": self.round, "next_seq": self.next_seq,
             "pages_queued": self.pages_queued,
             "seen_size": self.seen.total_size(),
+            "frontier_rows": self._frontier.num_rows,
+            "deferred_rows": self._deferred.num_rows,
+            "docs_parts": docs_parts,
+            "round_metrics": self.metrics["rounds"][-1]
+            if self.metrics["rounds"] else None,
             "metrics": {k: v for k, v in self.metrics.items() if k != "rounds"},
         }
         tmp = os.path.join(rdir, "manifest.json.tmp")
