@@ -222,6 +222,7 @@ def canonicalize_batch(refs, bases, strict_rfc3986: bool = True,
     dotty = (nofrag.str.contains("..", regex=False)
              | nofrag.str.contains("/./", regex=False)
              | nofrag.str.startswith("./")
+             | nofrag.str.endswith("/.")
              | (nofrag == "."))
     has_colon = nofrag.str.contains(":", regex=False)
 

@@ -4,8 +4,8 @@
   matrix is broadcast once (ray.put); every batch does ONE numpy matmul
   against it and emits its per-query partial top-k; the driver merges
   k x n_batches candidate rows (tiny) into the final top-k. No shuffle.
-- ``lsh_topk``: the scale path — random-hyperplane signatures bucket the
-  corpus; only colliding buckets are exactly re-ranked. Recall vs the
+- ``lsh_topk`` (random-hyperplane LSH, Charikar 2002): the scale path —
+  random-hyperplane signatures bucket the corpus; only colliding buckets are exactly re-ranked. Recall vs the
   baseline is measured in tests; at 10^10 rows this is the difference
   between a full scan and touching ~1/2^bits of the corpus per probe.
 """

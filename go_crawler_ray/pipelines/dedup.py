@@ -5,13 +5,17 @@ The large-scale training-data dedup toolkit, Ray-Data-first:
 - **exact**: content-key dedup = vectorized key extraction in
   map_batches, then hash-partitioned ``groupby(key).map_groups(first)``
   (the canonical exact-dedup shape; one shuffle on the key).
-- **MinHash + LSH**: per-batch shingle->minhash signatures (numpy),
+- **MinHash + LSH** (Broder 1997, "On the resemblance and containment
+  of documents"; banding per Leskovec/Rajaraman/Ullman, Mining of
+  Massive Datasets ch.3): per-batch shingle->minhash signatures (numpy),
   explode to (band_id, band_hash, doc_id) rows, ``groupby`` bands to get
   candidate buckets, exact-Jaccard verification of candidate pairs, then
   connected components -> cluster ids. The only all-to-all exchange is
   the band groupby, whose rows are tiny (3 ints per band).
-- **SimHash**: 64-bit signatures per doc + Hamming-near pairs via
-  band-blocking (4x16-bit bands must collide on one band).
+- **SimHash** (Charikar 2002, "Similarity estimation techniques from
+  rounding algorithms"; blocking per Manku et al. 2007): 64-bit
+  signatures per doc + Hamming-near pairs via band-blocking (4x16-bit
+  bands must collide on one band).
 - **n-gram Jaccard**: the verification kernel exposed directly.
 - **embedding cosine**: near-dup pairs over the embedding column via
   blockwise matmul against a broadcast normalized matrix.
