@@ -66,6 +66,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": _ann.lsh_topk,                      # rows-only
         # --- multimodal ---
         "multimodal_media_meta": _mm.media_metadata,
+        "multimodal_resize": _mm.media_resize,
+        "multimodal_features": _mm.media_features,          # rows-only
+        "multimodal_frames": _mm.media_frames,
     }
 
 
@@ -165,4 +168,15 @@ def oracle_sql() -> dict[str, str]:
             "CAST(1 + doc_id % 3 AS BIGINT) AS channels, "
             "CAST(12 + strlen(text) AS BIGINT) AS n_bytes, "
             "TRUE AS decode_ok FROM documents ORDER BY doc_id"),
+        "multimodal_resize": (
+            "SELECT doc_id, "
+            "GREATEST(1, CAST((16 + doc_id % 64) // 2 AS BIGINT)) AS width, "
+            "GREATEST(1, CAST((16 + (doc_id * 7) % 64) // 2 AS BIGINT)) AS height, "
+            "CAST(12 + GREATEST(1, strlen(text) // 4) AS BIGINT) AS thumb_bytes "
+            "FROM documents ORDER BY doc_id"),
+        "multimodal_frames": (
+            "SELECT doc_id, CAST(t.frame_idx AS BIGINT) AS frame_idx, "
+            "CAST(strlen(text) // 4 AS BIGINT) AS frame_bytes "
+            "FROM documents CROSS JOIN generate_series(0, 3) AS t(frame_idx) "
+            "ORDER BY doc_id, frame_idx"),
     }

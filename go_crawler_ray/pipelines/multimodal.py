@@ -96,3 +96,114 @@ def media_metadata(sf_dir: str) -> pd.DataFrame:
     out = ds.map_batches(DecodeStage, batch_format="pyarrow",
                          concurrency=2, batch_size=256).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+class ResizeStage:
+    """Actor-pool resize stub: halves each dimension (floor, min 1) and
+    emits a 'thumbnail' payload (header rewritten + body truncated
+    proportionally). A real implementation swaps the body transform for
+    PIL/cv2; header/schema plumbing is identical."""
+
+    def __init__(self, factor: int = 2):
+        self.factor = factor
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        f = self.factor
+        widths, heights, thumbs = [], [], []
+        for p in batch["payload"].to_pylist():
+            w = int.from_bytes(p[7:9], "little")
+            h = int.from_bytes(p[9:11], "little")
+            nw, nh = max(1, w // f), max(1, h // f)
+            body = p[12:]
+            thumb = (MAGIC + nw.to_bytes(2, "little") + nh.to_bytes(2, "little")
+                     + p[11:12] + body[: max(1, len(body) // (f * f))])
+            widths.append(nw); heights.append(nh); thumbs.append(thumb)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "width": pa.array(widths, pa.int64()),
+            "height": pa.array(heights, pa.int64()),
+            "thumb": pa.array(thumbs, pa.large_binary()),
+        })
+
+
+def media_resize(sf_dir: str, factor: int = 2) -> pd.DataFrame:
+    """(doc_id, width, height, thumb_bytes) after the resize stage."""
+    ds = build_media_table(sf_dir)
+    out = ds.map_batches(ResizeStage, batch_format="pyarrow",
+                         concurrency=2, batch_size=256,
+                         fn_constructor_kwargs={"factor": factor})
+
+    def meta(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "width": batch["width"],
+            "height": batch["height"],
+            "thumb_bytes": pc.binary_length(batch["thumb"]).cast(pa.int64()),
+        })
+
+    got = out.map_batches(meta, batch_format="pyarrow").to_pandas()
+    return got.sort_values("doc_id").reset_index(drop=True)
+
+
+class FeatureStage:
+    """Actor-pool feature-extract stub: a deterministic 8-bin byte
+    histogram over the body, L1-normalized — the embedding-shaped output a
+    real audio/image featurizer would produce (list<float> column)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        feats = []
+        for p in batch["payload"].to_pylist():
+            body = np.frombuffer(p[12:], dtype=np.uint8)
+            hist = np.bincount(body >> 5, minlength=8).astype(np.float64)
+            total = hist.sum() or 1.0
+            feats.append((hist / total).round(6).tolist())
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "features": pa.array(feats, pa.list_(pa.float64())),
+        })
+
+
+def media_features(sf_dir: str) -> pd.DataFrame:
+    ds = build_media_table(sf_dir)
+    out = ds.map_batches(FeatureStage, batch_format="pyarrow",
+                         concurrency=2, batch_size=256).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+class FrameSampleStage:
+    """Actor-pool frame-sample stub for 'video' payloads: splits the body
+    into n_frames equal chunks and emits one row per sampled frame
+    (doc_id, frame_idx, frame_bytes) — the flat-map layout a real
+    ffmpeg-based sampler would produce."""
+
+    def __init__(self, n_frames: int = 4):
+        self.n_frames = n_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, idxs, sizes = [], [], []
+        for d, p in zip(batch["doc_id"].to_pylist(),
+                        batch["payload"].to_pylist()):
+            body = p[12:]
+            k = min(self.n_frames, max(1, len(body)))
+            step = len(body) // k or 1
+            for i in range(k):
+                chunk = body[i * step: (i + 1) * step]
+                ids.append(d); idxs.append(i); sizes.append(len(chunk))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "frame_idx": pa.array(idxs, pa.int64()),
+            "frame_bytes": pa.array(sizes, pa.int64()),
+        })
+
+
+def media_frames(sf_dir: str, n_frames: int = 4) -> pd.DataFrame:
+    ds = build_media_table(sf_dir)
+    out = ds.map_batches(FrameSampleStage, batch_format="pyarrow",
+                         concurrency=2, batch_size=256,
+                         fn_constructor_kwargs={"n_frames": n_frames}) \
+        .to_pandas()
+    return out.sort_values(["doc_id", "frame_idx"]).reset_index(drop=True)

@@ -61,7 +61,7 @@ ORACLE_KEYS = [
     "distinct_event_types", "high_value_lineitems", "hourly_event_stats",
     "user_sessions", "text_token_count", "text_quality", "text_fingerprint",
     "dedup_exact", "dedup_embedding_cosine", "ann_brute_force_topk",
-    "multimodal_media_meta",
+    "multimodal_media_meta", "multimodal_resize", "multimodal_frames",
 ]
 
 
