@@ -71,6 +71,8 @@ class SaveStage:
 
     def render_content(self, kind: str, spans: list[dict],
                        canons: list[str], save_path: str) -> bytes:
+        """Reference per-row renderer (kept as the executable spec; the
+        batch path below is the vectorized equivalent)."""
         lines = []
         if kind == "page" and self.localize:
             for s, c in zip(spans, canons):
@@ -87,27 +89,76 @@ class SaveStage:
                 lines.append(f"{s['kind']}\t{payload}")
         return ("\n".join(lines) + ("\n" if lines else "")).encode("utf-8")
 
+    def _render_batch(self, batch: pa.Table, paths: list[str]) -> pa.Array:
+        """Vectorized content render: Arrow string kernels end-to-end;
+        Python only touches the UNIQUE (page, target) rewrites, memoized
+        across batches."""
+        import pyarrow.compute as pc
+
+        spans = batch.column("spans")
+        spans = spans.combine_chunks() if isinstance(spans, pa.ChunkedArray) else spans
+        n = batch.num_rows
+        parent = pc.list_parent_indices(spans).to_numpy(zero_copy_only=False)
+        flat = spans.flatten()
+        f_kind = flat.field("kind")
+        f_text = flat.field("text")
+        f_ref = flat.field("media_ref")
+
+        is_text = pc.equal(f_kind, "text")
+        payload = pc.if_else(is_text, f_text, f_ref)
+
+        if self.localize and "span_canon" in batch.column_names:
+            sc = batch.column("span_canon")
+            sc = sc.combine_chunks() if isinstance(sc, pa.ChunkedArray) else sc
+            f_canon = sc.flatten()
+            kinds_row = np.asarray(batch.column("kind").to_pylist(),
+                                   dtype=object)
+            localize_row = kinds_row == "page"
+            canon_np = np.asarray(f_canon.to_pylist(), dtype=object)
+            kept = np.array([bool(c) for c in canon_np], dtype=bool) \
+                & localize_row[parent] if len(parent) else np.zeros(0, bool)
+            if kept.any():
+                idx = np.nonzero(kept)[0]
+                is_link = pc.equal(f_kind.take(pa.array(idx)), "link") \
+                    .to_numpy(zero_copy_only=False)
+                rewritten = [
+                    self._rewrite(canon_np[i], bool(is_link[j]),
+                                  paths[parent[i]])
+                    for j, i in enumerate(idx)
+                ]
+                pay_np = payload.to_numpy(zero_copy_only=False).astype(object)
+                pay_np[idx] = rewritten
+                payload = pa.array(pay_np, pa.string())
+
+        lines = pc.binary_join_element_wise(f_kind, payload, "\t")
+        offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(pc.list_value_length(spans).to_numpy(zero_copy_only=False),
+                  out=offsets[1:])
+        line_list = pa.LargeListArray.from_arrays(
+            pa.array(offsets, pa.int64()), lines.cast(pa.large_string()))
+        joined = pc.binary_join(line_list, pa.scalar("\n", pa.large_string()))
+        nonempty = pc.greater(pc.list_value_length(spans), 0)
+        content = pc.if_else(
+            nonempty,
+            pc.binary_join_element_wise(joined,
+                                        pa.scalar("", pa.large_string()),
+                                        pa.scalar("\n", pa.large_string())),
+            pa.scalar("", pa.large_string()))
+        return content.cast(pa.large_binary())
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch.column("url").to_pylist()
         kinds = batch.column("kind").to_pylist()
-        spans_col = batch.column("spans").to_pylist()
-        if "span_canon" in batch.column_names:
-            canon_col = batch.column("span_canon").to_pylist()
-        else:
-            canon_col = [[""] * len(s) for s in spans_col]
         paths = [self._save_path(u, k) for u, k in zip(urls, kinds)]
-        contents = [
-            self.render_content(k, s, c, p)
-            for k, s, c, p in zip(kinds, spans_col, canon_col, paths)
-        ]
+        contents_arr = self._render_batch(batch, paths)
         out = batch.append_column("save_path", pa.array(paths, type=pa.string()))
-        out = out.append_column("content",
-                                pa.array(contents, type=pa.large_binary()))
+        out = out.append_column("content", contents_arr)
         if self.enrich:
             # inline doc enrichment (what a training-data crawl computes at
             # save time): content fingerprint + token count
             import hashlib
 
+            contents = contents_arr.to_pylist()
             fps = [hashlib.md5(c).hexdigest() for c in contents]
             ntok = [c.count(b" ") + c.count(b"\n") + 1 for c in contents]
             out = out.append_column("fingerprint", pa.array(fps, pa.string()))
