@@ -48,6 +48,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_event_types": _rel.distinct_event_types,
         "high_value_lineitems": _rel.high_value_lineitems,
         "hourly_event_stats": _rel.hourly_event_stats,
+        "sliding_event_stats": _rel.sliding_event_stats,
+        "top_orders_per_segment": _rel.top_orders_per_segment,
         "user_sessions": _rel.user_sessions,
         # --- text analysis ---
         "text_token_count": _text.token_count,
@@ -122,6 +124,22 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(SUM(value), 4) AS sum_value, COUNT(*) AS n_events "
             "FROM events GROUP BY event_type, date_trunc('hour', ts) "
             "ORDER BY event_type, window_start"),
+        "sliding_event_stats": (
+            "SELECT event_type, window_start, ROUND(SUM(value), 4) AS "
+            "sum_value, COUNT(*) AS n_events FROM ("
+            "SELECT event_type, date_trunc('hour', ts) - o.h * INTERVAL 1 "
+            "HOUR AS window_start, value FROM events CROSS JOIN "
+            "(SELECT unnest([0, 1]) AS h) o) "
+            "GROUP BY event_type, window_start "
+            "ORDER BY event_type, window_start"),
+        "top_orders_per_segment": (
+            "SELECT c_mktsegment, o_orderkey, ROUND(o_totalprice, 4) AS "
+            "o_totalprice FROM (SELECT c_mktsegment, o_orderkey, "
+            "o_totalprice, ROW_NUMBER() OVER (PARTITION BY c_mktsegment "
+            "ORDER BY o_totalprice DESC, o_orderkey) AS rn "
+            "FROM orders JOIN customer ON o_custkey = c_custkey) "
+            "WHERE rn <= 3 ORDER BY c_mktsegment, o_totalprice DESC, "
+            "o_orderkey"),
         "user_sessions": (
             "SELECT user_id, "
             "CAST(1 + COALESCE(SUM(CASE WHEN gap > 1800 THEN 1 ELSE 0 END), 0)"

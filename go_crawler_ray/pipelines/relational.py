@@ -192,6 +192,76 @@ def hourly_event_stats(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# sliding window: each event contributes to size/slide windows, realized
+# as a vectorized flat-map (duplicate with shifted window starts) + the
+# same partial/final aggregation as the tumbling case
+
+def sliding_event_stats(sf_dir: str, size_hours: int = 2,
+                        slide_hours: int = 1) -> pd.DataFrame:
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+    k = size_hours // slide_hours
+
+    def expand(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch["ts"], unit="hour")
+        parts = []
+        for h in range(k):
+            shifted = pc.subtract(
+                hour, pa.scalar(np.timedelta64(h * slide_hours * 3600, "s")
+                                .astype("timedelta64[us]")))
+            parts.append(pa.table({
+                "event_type": batch["event_type"],
+                "window_start": shifted,
+                "value": batch["value"],
+            }))
+        t = pa.concat_tables(parts)
+        return t.group_by(["event_type", "window_start"]).aggregate(
+            [("value", "sum"), ("value", "count")])
+
+    out = (
+        ds.map_batches(expand, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(Sum("value_sum", alias_name="sum_value"),
+                   Sum("value_count", alias_name="n_events"))
+        .to_pandas()
+    )
+    out["sum_value"] = round_half_away(out["sum_value"])
+    out["n_events"] = out["n_events"].astype("int64")
+    return out.sort_values(["event_type", "window_start"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# top-k per group: broadcast-join the group key, per-batch partial top-k
+# per key, tiny driver merge (no global sort)
+
+def top_orders_per_segment(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    cust_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+
+    class GroupTopK:
+        def __init__(self):
+            self.seg = ray.get(cust_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            batch = batch.assign(
+                c_mktsegment=batch["o_custkey"].map(self.seg))
+            batch = batch.sort_values(
+                ["c_mktsegment", "o_totalprice", "o_orderkey"],
+                ascending=[True, False, True])
+            return batch.groupby("c_mktsegment", sort=False).head(k)[
+                ["c_mktsegment", "o_orderkey", "o_totalprice"]]
+
+    cand = ds.map_batches(GroupTopK, batch_format="pandas",
+                          concurrency=2).to_pandas()
+    cand = cand.sort_values(["c_mktsegment", "o_totalprice", "o_orderkey"],
+                            ascending=[True, False, True])
+    out = cand.groupby("c_mktsegment", sort=True).head(k).reset_index(drop=True)
+    out["o_totalprice"] = round_half_away(out["o_totalprice"])
+    out["o_orderkey"] = out["o_orderkey"].astype("int64")
+    return out
+
+
+# ---------------------------------------------------------------------------
 # sessionization: per-key ordered state via groupby().map_groups
 
 def user_sessions(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
