@@ -41,6 +41,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_bfs_visit_order": _cq.bfs_visit_order,       # rows-only
         "crawl_docs_out": _cq.crawl_docs_out,               # rows-only
         "crawl_seen_set": _cq.crawl_seen_set,               # rows-only
+        "crawl_metrics": _cq.crawl_metrics,                 # rows-only
         # --- relational core ---
         "pricing_summary": _rel.pricing_summary,
         "segment_revenue": _rel.segment_revenue,

@@ -120,3 +120,26 @@ def crawl_seen_set(sf_dir: str) -> pd.DataFrame:
     """Final URL-seen set (sorted) — includes budget-refused pages (D1)."""
     result, _ = _crawl(sf_dir)
     return pd.DataFrame({"url": result.seen})
+
+
+def crawl_metrics(sf_dir: str) -> pd.DataFrame:
+    """Per-round crawl metrics (the reference's aspirational metrics
+    module, internal/metrics.go:10-113, wired for real): one row per BFS
+    round with frontier/candidate/accept counts and stage wall times."""
+    result, _ = _crawl(sf_dir)
+    rows = []
+    for r in result.metrics["rounds"]:
+        rows.append({
+            "round": r["round"],
+            "frontier": r["frontier"],
+            "candidates": r["candidates"],
+            "accepted_next": r["accepted_next"],
+            "deferred": r["deferred"],
+            "sec_total": r["sec"],
+            "sec_fetch_parse_save": r["phases"].get("fetch_parse_save", 0.0),
+            "sec_accept": r["phases"].get("accept", 0.0),
+        })
+    out = pd.DataFrame(rows)
+    for c in ("round", "frontier", "candidates", "accepted_next", "deferred"):
+        out[c] = out[c].astype("int64")
+    return out
