@@ -181,21 +181,28 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id "
             "ORDER BY cos_raw DESC, neighbor_id) AS rn FROM sims) "
             "WHERE rn <= 5 ORDER BY query_id, cos_raw DESC, neighbor_id"),
+        # multimodal: the engine's body is the doc text's UTF-8 BYTES, so
+        # the oracles use octet_length(encode(text)) — strlen (character
+        # count) would diverge on non-ASCII text
         "multimodal_media_meta": (
             "SELECT doc_id, CAST(16 + doc_id % 64 AS BIGINT) AS width, "
             "CAST(16 + (doc_id * 7) % 64 AS BIGINT) AS height, "
             "CAST(1 + doc_id % 3 AS BIGINT) AS channels, "
-            "CAST(12 + strlen(text) AS BIGINT) AS n_bytes, "
+            "CAST(12 + octet_length(encode(text)) AS BIGINT) AS n_bytes, "
             "TRUE AS decode_ok FROM documents ORDER BY doc_id"),
         "multimodal_resize": (
             "SELECT doc_id, "
             "GREATEST(1, CAST((16 + doc_id % 64) // 2 AS BIGINT)) AS width, "
             "GREATEST(1, CAST((16 + (doc_id * 7) % 64) // 2 AS BIGINT)) AS height, "
-            "CAST(12 + GREATEST(1, strlen(text) // 4) AS BIGINT) AS thumb_bytes "
-            "FROM documents ORDER BY doc_id"),
+            "CAST(12 + LEAST(octet_length(encode(text)), "
+            "GREATEST(1, octet_length(encode(text)) // 4)) AS BIGINT) "
+            "AS thumb_bytes FROM documents ORDER BY doc_id"),
         "multimodal_frames": (
-            "SELECT doc_id, CAST(t.frame_idx AS BIGINT) AS frame_idx, "
-            "CAST(strlen(text) // 4 AS BIGINT) AS frame_bytes "
-            "FROM documents CROSS JOIN generate_series(0, 3) AS t(frame_idx) "
-            "ORDER BY doc_id, frame_idx"),
+            "SELECT doc_id, CAST(i AS BIGINT) AS frame_idx, "
+            "CAST(CASE WHEN b = 0 THEN 0 ELSE b // k END AS BIGINT) "
+            "AS frame_bytes FROM "
+            "(SELECT doc_id, octet_length(encode(text)) AS b, "
+            "LEAST(4, GREATEST(octet_length(encode(text)), 1)) AS k "
+            "FROM documents) CROSS JOIN generate_series(0, 3) AS g(i) "
+            "WHERE i < k ORDER BY doc_id, frame_idx"),
     }

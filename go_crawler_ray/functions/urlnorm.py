@@ -38,10 +38,21 @@ import numpy as np
 _DEFAULT_PORTS = {"http": "80", "https": "443"}
 
 # Fast path: already-absolute, already-canonical URL with no fragment,
-# no dot-segments, no default port, lowercase scheme+host.
+# no port (an explicit port may be a default port needing strip), and
+# lowercase scheme+host. Dot-segments anywhere in the path are rejected
+# by the substring post-check in _is_fast_canonical (Go's
+# ResolveReference always removes dot segments, so '/a/../b' forms must
+# go through _normalize_rfc3986, not pass through verbatim).
 _CANONICAL_RE = re.compile(
-    r"^(?:http|https)://[a-z0-9.\-]+(?::\d+)?(?:/(?!\.{1,2}(?:/|$))[^#]*)?$"
+    r"^(?:http|https)://[a-z0-9.\-]+(?:/[^#]*)?$"
 )
+
+
+def _is_fast_canonical(ref: str) -> bool:
+    if not _CANONICAL_RE.match(ref):
+        return False
+    return not ("/./" in ref or "/../" in ref
+                or ref.endswith("/.") or ref.endswith("/.."))
 
 
 def md5_hex(s: str) -> str:
@@ -73,8 +84,11 @@ def _normalize_rfc3986(url: str) -> str:
     path = parts.path
     if "." in path:
         path = posixpath.normpath(path) if path else path
-        # posixpath.normpath drops trailing slash and maps "" -> "."
-        if parts.path.endswith("/") and not path.endswith("/"):
+        # posixpath.normpath drops trailing slash and maps "" -> ".";
+        # RFC 3986 remove_dot_segments keeps a trailing "/" for paths
+        # ending in "/", "/." or "/.."
+        if (parts.path.endswith(("/", "/.", "/.."))
+                and not path.endswith("/")):
             path += "/"
         if path == ".":
             path = "/"
@@ -88,7 +102,7 @@ def canonicalize_url(ref: str, base: str, strict_rfc3986: bool = True) -> str | 
     fragment, resolve against ``base``. The same-host filter is applied
     separately by :func:`same_host` (the caller needs the host anyway).
     """
-    if _CANONICAL_RE.match(ref):
+    if _is_fast_canonical(ref):
         return ref  # already canonical and absolute; fragment-free by regex
     try:
         absolute = urljoin(base, strip_fragment(ref))
@@ -218,6 +232,10 @@ def canonicalize_batch(refs, bases, strict_rfc3986: bool = True,
     b_origin = b_origin_host[0]
     b_host = b_origin_host[1]
     b_dir = bases.str.rsplit("/", n=1).str[0]
+    # a pathless base ("https://h0.example", no '/' after the authority)
+    # makes rsplit-derived b_dir wrong ("https:/"); such rows must take
+    # the exact urljoin fallback for bare-relative refs
+    b_has_path = bases.str.count("/") >= 3
 
     dotty = (nofrag.str.contains("..", regex=False)
              | nofrag.str.contains("/./", regex=False)
@@ -238,7 +256,8 @@ def canonicalize_batch(refs, bases, strict_rfc3986: bool = True,
                & ~nofrag.str.startswith("//") & ~dotty)
     is_rel = (~has_colon & ~nofrag.str.startswith("/")
               & ~nofrag.str.startswith(".") & ~dotty
-              & (nofrag != "") & ~nofrag.str.startswith("?"))
+              & (nofrag != "") & ~nofrag.str.startswith("?")
+              & b_has_path)
 
     m = abs_simple.to_numpy(dtype=bool)
     if m.any():

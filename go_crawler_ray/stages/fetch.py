@@ -35,14 +35,18 @@ from ..functions.retry import RetryConfig, retry_call
 from ..schemas import SPAN_STRUCT
 
 
-def _hash_urls(urls: list[str]) -> np.ndarray:
-    """Stable 64-bit hashes (two-seed crc32) for URL keys."""
-    out = np.empty(len(urls), dtype=np.uint64)
-    crc = zlib.crc32
-    for i, u in enumerate(urls):
-        b = u.encode("utf-8")
-        out[i] = (crc(b) << 32) | crc(b, 0x9E3779B9)
-    return out
+def _hash_urls(urls) -> np.ndarray:
+    """Stable 64-bit hashes for URL keys: crc32 of the bytes combined
+    with crc32 of the REVERSED bytes. The two passes are different
+    GF(2)-linear maps of the message bits (unlike crc32 with two init
+    seeds, which differ only by a constant — a collision in one implies
+    a collision in the other), so joint collisions are ~2^-64.
+
+    Accepts a list[str] or an Arrow string array; vectorized either way
+    (functions.hashing.crc32_many — one numpy pass per byte position)."""
+    from ..functions.hashing import hash64_many
+
+    return hash64_many(urls)
 
 
 def build_corpus_index(doc_ids: list[str]) -> tuple[np.ndarray, np.ndarray]:
@@ -84,8 +88,12 @@ class InMemoryCorpusBackend:
             urls = self.table.column("doc_id").to_pylist()
             self.index = {u: i for i, u in enumerate(urls)}
 
-    def indices(self, urls: list[str]) -> np.ndarray:
+    def indices(self, urls) -> np.ndarray:
+        """Corpus row index per URL (-1 = miss). ``urls`` may be a
+        list[str] or an Arrow string array (zero-copy hot path)."""
         if self.index is not None:
+            if not isinstance(urls, list):
+                urls = urls.to_pylist()
             idx = np.empty(len(urls), dtype=np.int64)
             get = self.index.get
             for i, u in enumerate(urls):
@@ -239,9 +247,11 @@ class FetchStage:
             raise ConnectionError(f"transient fetch failure for {url}")
         return int(self.backend.indices([url])[0])
 
-    def _lookup(self, urls: list[str]) -> np.ndarray:
+    def _lookup(self, urls) -> np.ndarray:
         if self.transient_fail_rate <= 0.0:
             return self.backend.indices(urls)   # vectorized hot path
+        if not isinstance(urls, list):
+            urls = urls.to_pylist()
         out = np.empty(len(urls), dtype=np.int64)
         for i, u in enumerate(urls):
             try:
@@ -252,7 +262,7 @@ class FetchStage:
         return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        urls = batch.column("url").to_pylist()
+        urls = batch.column("url")   # stays Arrow on the hot path
         idx = self._lookup(urls)
         spans = self.backend.take_spans(idx)
         sizes = spans_text_sizes(spans)

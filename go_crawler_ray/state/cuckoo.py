@@ -27,9 +27,12 @@ _MAX_KICKS = 500
 
 
 def _h64(data: bytes) -> int:
-    """Stable 64-bit-ish hash from two crc32 passes (process-independent)."""
+    """Stable 64-bit hash: crc32 of the bytes + crc32 of the reversed
+    bytes (two genuinely different linear maps; crc32 with two init
+    seeds differs only by a constant, so equal-length collisions would
+    coincide — see stages/fetch._hash_urls)."""
     a = zlib.crc32(data)
-    b = zlib.crc32(data, 0x9E3779B9)
+    b = zlib.crc32(data[::-1])
     return (a << 32) | b
 
 

@@ -24,8 +24,10 @@ from __future__ import annotations
 import zlib
 
 import numpy as np
+import pyarrow as pa
 import ray
 
+from ..functions.hashing import crc32_many
 from .cuckoo import CuckooFilter
 
 
@@ -42,6 +44,29 @@ def shard_of_many(urls, hosts, num_shards: int, salt_k: int = 4) -> np.ndarray:
     for i, (u, h) in enumerate(zip(urls, hosts)):
         out[i] = shard_of(u, h, num_shards, salt_k)
     return out
+
+
+def shard_of_arrow(url_array, host_array, num_shards: int,
+                   salt_k: int = 4) -> np.ndarray:
+    """Vectorized twin of :func:`shard_of` (bit-identical routing).
+
+    Host hashes go through a dictionary encode (few unique hosts per
+    batch — one scalar crc each); the per-URL salt is the vectorized
+    crc32 kernel. No Python loop over rows."""
+    if isinstance(host_array, pa.ChunkedArray):
+        host_array = host_array.combine_chunks()
+    import pyarrow.compute as pc
+
+    enc = pc.dictionary_encode(host_array)
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    dvals = enc.dictionary.to_pylist()
+    dcrc = np.fromiter((zlib.crc32(v.encode("utf-8")) for v in dvals),
+                       dtype=np.uint64, count=len(dvals))
+    h = dcrc[codes] if len(dvals) else np.zeros(len(host_array), np.uint64)
+    if salt_k > 1:
+        h = h + (crc32_many(url_array).astype(np.uint64)
+                 % np.uint64(salt_k))
+    return (h % np.uint64(num_shards)).astype(np.int32)
 
 
 class _SeenShardImpl:
@@ -61,6 +86,82 @@ class _SeenShardImpl:
         )
         self.n_checked = 0
         self.n_inserted = 0
+        # round-accept protocol state (offer -> dedup_round -> finalize)
+        self._pending: list[pa.Table] = []
+        self._offered_round = 0
+        self._accepted: pa.Table | None = None
+
+    # -- distributed round-accept protocol --------------------------------
+    # The crawl's accept path (reference Push semantics, queue.go:88-114)
+    # runs ON the shards: map tasks explode children and `offer` each
+    # shard its slice; after the round's stream completes the driver
+    # calls `dedup_round` (push-order sort + first-occurrence dedup +
+    # seen insert — insert happens HERE, before the budget, preserving
+    # the D1 refused-but-seen invariant), collects only slim integer
+    # columns to cut the global budget, then `finalize_round` hands each
+    # shard its keep-mask + seq numbers. URL strings never aggregate on
+    # the driver.
+
+    def offer(self, tbl: pa.Table) -> int:
+        """Buffer a candidate slice for this round (routed by shard)."""
+        self._pending.append(tbl)
+        self._offered_round += tbl.num_rows
+        return tbl.num_rows
+
+    def dedup_round(self) -> dict:
+        """Resolve buffered candidates: sort by (parent_seq, position) =
+        single-worker push order, keep each URL's first occurrence,
+        check+insert against the seen set. Accepted full rows stay
+        shard-side; returns {slim (parent_seq, position, is_page),
+        offered count}."""
+        import pyarrow.compute as pc
+
+        offered = self._offered_round
+        self._offered_round = 0
+        if not self._pending:
+            self._accepted = None
+            return {"slim": pa.table({
+                "parent_seq": pa.array([], pa.int64()),
+                "position": pa.array([], pa.int32()),
+                "is_page": pa.array([], pa.bool_())}), "offered": offered}
+        cand = (pa.concat_tables(self._pending, promote_options="default")
+                if len(self._pending) > 1 else self._pending[0])
+        self._pending = []
+        ps = cand.column("parent_seq").to_numpy(zero_copy_only=False)
+        pos = cand.column("position").to_numpy(zero_copy_only=False)
+        order = np.lexsort((pos, ps))
+        cand = cand.take(pa.array(order))
+        url_col = cand.column("url").combine_chunks()
+        codes = pc.dictionary_encode(url_col).indices.to_numpy(
+            zero_copy_only=False)
+        _, fi = np.unique(codes, return_index=True)
+        fi.sort()
+        first_tbl = cand.take(pa.array(fi))
+        novel = self.check_and_insert(
+            first_tbl.column("url").combine_chunks())
+        acc = first_tbl.filter(pa.array(novel))
+        self._accepted = acc
+        return {"slim": pa.table({
+            "parent_seq": acc.column("parent_seq"),
+            "position": acc.column("position"),
+            "is_page": pc.equal(acc.column("kind"), "page"),
+        }), "offered": offered}
+
+    def finalize_round(self, keep: np.ndarray, seqs: np.ndarray) -> dict:
+        """Apply the driver's budget cut: ``keep`` aligns with the slim
+        table row order; ``seqs`` are the kept rows' seq numbers (in that
+        order). Returns the kept frontier rows and the budget-refused
+        URLs (which stay in the seen set — D1)."""
+        acc = self._accepted
+        self._accepted = None
+        if acc is None or acc.num_rows == 0:
+            return {"kept": None, "refused": None}
+        kept = acc.filter(pa.array(keep))
+        kept = kept.append_column("seq", pa.array(seqs, pa.int64()))
+        refused = None
+        if not keep.all():
+            refused = acc.filter(pa.array(~keep)).select(["url", "host"])
+        return {"kept": kept, "refused": refused}
 
     def check_and_insert(self, urls) -> np.ndarray:
         """For each url IN ORDER: True if newly inserted (never seen),

@@ -8,6 +8,32 @@ from go_crawler_ray.state.politeness import apply_host_tokens, parse_robots
 from go_crawler_ray.state.seen import _SeenShardImpl, shard_of
 
 
+def test_h64_survives_crc32_collisions():
+    """Regression (ADVICE r1): crc32 with two init seeds is affine in the
+    init, so an equal-length crc collision collided in BOTH halves of the
+    old 64-bit key. The forward+reversed construction must keep colliding
+    strings apart."""
+    import zlib
+
+    from go_crawler_ray.stages.fetch import _hash_urls
+    from go_crawler_ray.state.cuckoo import _h64
+
+    rng = np.random.default_rng(0)
+    seen: dict[int, str] = {}
+    pair = None
+    for _ in range(300_000):
+        s = "".join(chr(97 + c) for c in rng.integers(0, 26, size=12))
+        c = zlib.crc32(s.encode())
+        if c in seen and seen[c] != s:
+            pair = (seen[c], s)
+            break
+        seen[c] = s
+    assert pair is not None, "no crc32 collision found (increase iterations)"
+    a, b = pair
+    assert _hash_urls([a])[0] != _hash_urls([b])[0]
+    assert _h64(a.encode()) != _h64(b.encode())
+
+
 class TestCuckoo:
     def test_add_contains(self):
         f = CuckooFilter(1024)

@@ -60,6 +60,35 @@ class TestCanonicalize:
     def test_scheme_relative(self):
         assert canonicalize_url("//cdn.example/x.js", BASE) == "https://cdn.example/x.js"
 
+    def test_fast_path_rejects_dot_segments_anywhere(self):
+        # regression (ADVICE r1): dot-segments beyond the FIRST path
+        # segment used to pass the fast path unnormalized
+        assert canonicalize_url("http://h/a/../b", BASE) == "http://h/b"
+        assert canonicalize_url("http://h/a/..", BASE) == "http://h/"
+        assert canonicalize_url("http://h/a/./b", BASE) == "http://h/a/b"
+        assert canonicalize_url("http://h/a/.", BASE) == "http://h/a/"
+
+    def test_fast_path_rejects_explicit_port(self):
+        # regression (ADVICE r1): explicit default port must be stripped
+        assert canonicalize_url("http://h:80/x", BASE) == "http://h/x"
+        assert canonicalize_url("https://h:443/x", BASE) == "https://h/x"
+        assert canonicalize_url("https://h:8443/x", BASE) == "https://h:8443/x"
+
+    def test_batch_pathless_base_bare_relative(self):
+        # regression (ADVICE r1): a pathless base (CLI seed without a
+        # trailing slash) must resolve bare-relative refs via the
+        # authority, not a rsplit-derived bogus dir
+        from go_crawler_ray.functions.urlnorm import canonicalize_batch
+
+        canon, same = canonicalize_batch(
+            ["p/1.html", "/a.html", "q.html"],
+            ["https://h0.example", "https://h0.example",
+             "https://h0.example/d/x.html"])
+        assert list(canon) == ["https://h0.example/p/1.html",
+                               "https://h0.example/a.html",
+                               "https://h0.example/d/q.html"]
+        assert same.all()
+
     def test_memoizing_canonicalizer(self):
         c = Canonicalizer()
         assert c("a.html", BASE) == c("a.html", BASE) == \
