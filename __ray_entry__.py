@@ -37,6 +37,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- crawl engine (the reference's own pipeline) ---
         "crawl_spans_flatten": _cq.spans_flatten,
         "crawl_extract_resources": _cq.extract_resources,
+        "crawl_html_extract": _cq.html_extract,
         "crawl_span_stats": _cq.span_stats,
         "crawl_bfs_visit_order": _cq.bfs_visit_order,       # rows-only
         "crawl_docs_out": _cq.crawl_docs_out,               # rows-only
@@ -80,11 +81,22 @@ _STOP = "('the','a','an','and','or','of','to','in','is','on')"
 
 
 def oracle_sql() -> dict[str, str]:
+    from go_crawler_ray.pipelines import crawl_oracle as _co
+    from go_crawler_ray.pipelines.crawl_queries import CRAWL_BUDGET
+    from go_crawler_ray.sources.corpus import seed_url
+
     corpus = ensure_corpus("t2")   # sf0.01 tier — guarantee the file exists
     flat = (f"SELECT doc_id, u.kind AS kind, u.text AS text, "
             f"u.media_ref AS media_ref, u.\"offset\" AS \"offset\" "
             f"FROM read_parquet('{corpus}'), UNNEST(spans) AS t(u)")
+    seed = seed_url(0)
     return {
+        # recursive-CTE BFS simulation oracles (crawl_oracle.py): replay
+        # the budget-300 FIFO-BFS crawl entirely in SQL, value-exact
+        "crawl_bfs_visit_order": _co.visit_order_sql(
+            corpus, seed, CRAWL_BUDGET),
+        "crawl_seen_set": _co.seen_set_sql(corpus, seed, CRAWL_BUDGET),
+        "crawl_docs_out": _co.docs_out_sql(corpus, seed, CRAWL_BUDGET),
         "crawl_spans_flatten": f"{flat} ORDER BY doc_id, \"offset\"",
         "crawl_extract_resources": (
             f"SELECT doc_id, kind, split_part(media_ref, '#', 1) AS ref_nofrag,"
@@ -95,6 +107,14 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT kind, COUNT(*) AS n_spans, "
             f"COUNT(DISTINCT doc_id) AS n_docs FROM ({flat}) "
             f"GROUP BY kind ORDER BY kind"),
+        # the HTML round-trip: extract(render(spans)) must equal the
+        # corpus's resource spans (raw attr values, fragments intact)
+        "crawl_html_extract": (
+            f"SELECT doc_id, kind, media_ref AS ref, "
+            f"CAST(ROW_NUMBER() OVER (PARTITION BY doc_id "
+            f"ORDER BY \"offset\") - 1 AS INTEGER) AS res_idx "
+            f"FROM ({flat}) WHERE kind IN ('link','css','script','img') "
+            f"ORDER BY doc_id, res_idx"),
         "pricing_summary": (
             "SELECT l_returnflag, l_linestatus, "
             "ROUND(SUM(l_quantity), 4) AS sum_qty, "

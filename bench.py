@@ -58,7 +58,8 @@ def run_bench() -> dict:
         num_seen_shards=max(4, num_cpus // 4),
         fetch_concurrency=num_cpus, batch_size=4096,
         checkpoint_dir=f"/dev/shm/graft_bench_ckpt_{num_cpus}",  # docs stream to per-worker files; shm stands in for the per-node disks a real cluster scales with
-        write_docs=True, localize=True, enrich_docs=True))
+        write_docs=True, localize=True, enrich_docs=True,
+        snapshot_seen=False))   # don't haul the seen set onto the driver
 
     # untimed warm-up: run the fused fetch/parse/save stage over a fake
     # frontier wide enough to spawn EVERY worker (one cold worker costs

@@ -96,6 +96,10 @@ class CrawlConfig:
     localize: bool = True                # run the T1 transform in save
     enrich_docs: bool = False            # + fingerprint/n_tokens per doc
     write_docs: bool = True
+    # materialize the full seen set into CrawlResult.seen at the end
+    # (conformance/tests). Off for production/bench runs: snapshotting
+    # 10^10 URLs onto the driver is exactly what the sharded design avoids
+    snapshot_seen: bool = True
     # [NEW] priority frontier: callable (accepted-candidates pa.Table) ->
     # int32 ndarray; lower = fetched earlier. None = 0 for all (pure FIFO,
     # the reference-conformant order)
@@ -186,6 +190,25 @@ class _SaveFn:
         return out
 
 
+class _ExplodeOfferFn:
+    """Final fused stage: explode each doc row's children into candidate
+    rows (M5 flat-map), route them to the seen shards with the vectorized
+    crc32 kernel, and buffer them shard-side (`offer`). The accept path's
+    per-row work — explode, hashing, string shipping — runs in the map
+    tasks; the driver later cuts only slim integer columns (see
+    state/seen.py round protocol). Output = the doc batch without the
+    children column."""
+
+    def __init__(self, seen: "ShardedSeenSet"):
+        self.seen = seen
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cands = explode_children(batch)
+        if cands.num_rows:
+            self.seen.offer_arrow(cands)
+        return batch.drop_columns(["children"])
+
+
 @dataclass
 class CrawlResult:
     visit_order: pa.Table               # (url, seq, kind) in global FIFO order
@@ -240,6 +263,12 @@ class Crawler:
         self.round = 0
         self._visit_parts: list[pa.Table] = []
         self._seen_extra_parts: list[pa.Table] = []
+        # parts not yet checkpointed (each round writes only its DELTA —
+        # rewriting the cumulative log each round was O(rounds x total)
+        # write amplification)
+        self._visit_new: list[pa.Table] = []
+        self._seen_extra_new: list[pa.Table] = []
+        self._last_offered = 0
         self._deferred = _empty_frontier()
         self.metrics: dict = {
             "rounds": [], "pages_fetched": 0, "assets_fetched": 0,
@@ -280,63 +309,78 @@ class Crawler:
             "depth": pa.array([0] * len(seeds), pa.int32()),
             "host": pa.array([host_of(u) for u in seeds]),
         })
-        accepted = self._accept_candidates(cand)
-        self._frontier = accepted
+        self.seen.offer_arrow(cand)
+        self._frontier = self._resolve_accept()
 
     # -- the ordered accept step (dedup -> budget -> seq) ------------------
-    def _accept_candidates(self, cand: pa.Table) -> pa.Table:
-        """Reference Push semantics over a candidate table, vectorized.
+    def _resolve_accept(self) -> pa.Table:
+        """Reference Push semantics (queue.go:88-114), distributed.
 
-        Order by (parent_seq, position) = single-worker push order; then
-        in-batch first-occurrence dedup, sharded seen check_and_insert
-        (marks seen), THEN the page budget (queue.go:92-106 ordering).
-        """
-        n = cand.num_rows
-        self.metrics["candidates"] += n
-        if n == 0:
+        Candidates were already offered to the seen shards (by the
+        explode map tasks, or by push_seeds). Each shard resolves its
+        slice — (parent_seq, position) push-order sort, first-occurrence
+        dedup, seen check+insert — in parallel; the driver sees only slim
+        integer columns to apply the global enqueue-time page budget and
+        assign dense seq numbers, then each shard materializes its kept
+        frontier rows. Budget-refused pages stay seen (D1): the insert
+        happened shard-side BEFORE the budget cut, mirroring the
+        reference's dedup-before-budget ordering (queue.go:92-106)."""
+        slims, offered = self.seen.dedup_round_all()
+        self.metrics["candidates"] += offered
+        self._last_offered = offered
+        ns = [t.num_rows for t in slims]
+        total = sum(ns)
+        self.metrics["dedup_rejected"] += offered - total
+        if total == 0:
             return _empty_frontier()
-        ps = cand.column("parent_seq").to_numpy(zero_copy_only=False)
-        pos = cand.column("position").to_numpy(zero_copy_only=False)
+
+        def col(name, dtype):
+            return np.concatenate(
+                [t.column(name).to_numpy(zero_copy_only=False) for t in slims]
+            ) if total else np.zeros(0, dtype=dtype)
+
+        ps = col("parent_seq", np.int64)
+        pos = col("position", np.int32)
+        is_page = col("is_page", bool)
+        # global single-worker push order over slim ints only
         order = np.lexsort((pos, ps))
-        cand = cand.take(pa.array(order))
-
-        # in-batch first occurrence (single-push semantics for duplicates
-        # within one round, queue.go:92-96), vectorized: dictionary-encode
-        # the url column and keep each code's first index in push order
-        url_col = cand.column("url").combine_chunks()
-        codes = pc.dictionary_encode(url_col).indices.to_numpy(
-            zero_copy_only=False)
-        _, fi = np.unique(codes, return_index=True)
-        fi.sort()
-        first_tbl = cand.take(pa.array(fi))
-        novel = self.seen.check_and_insert_arrow(
-            first_tbl.column("url").combine_chunks(),
-            first_tbl.column("host").combine_chunks())
-        accepted_mask = np.zeros(cand.num_rows, dtype=bool)
-        accepted_mask[fi] = novel
-        self.metrics["dedup_rejected"] += int(cand.num_rows - accepted_mask.sum())
-
-        acc = cand.filter(pa.array(accepted_mask))
-        # page budget in order: enqueue-time, refused pages stay seen
-        is_page = pc.equal(acc.column("kind"), "page").to_numpy(
-            zero_copy_only=False)
-        budget_left = self.cfg.max_count - self.pages_queued
-        page_rank = np.cumsum(is_page)          # 1-based rank among pages
-        enqueue = ~is_page | (page_rank <= budget_left)
-        n_pages_in = int(min(budget_left, is_page.sum())) if budget_left > 0 else 0
-        self.metrics["budget_refused"] += int(is_page.sum()) - n_pages_in
+        ip_sorted = is_page[order]
+        budget_left = max(0, self.cfg.max_count - self.pages_queued)
+        page_rank = np.cumsum(ip_sorted)        # 1-based rank among pages
+        enq_sorted = ~ip_sorted | (page_rank <= budget_left)
+        n_pages_in = int(min(budget_left, ip_sorted.sum()))
+        self.metrics["budget_refused"] += int(ip_sorted.sum()) - n_pages_in
         self.pages_queued += n_pages_in
-        if not enqueue.all():
+        seq_sorted = np.where(
+            enq_sorted,
+            np.cumsum(enq_sorted) - 1 + self.next_seq, np.int64(-1))
+        self.next_seq += int(enq_sorted.sum())
+        keep = np.empty(total, dtype=bool)
+        keep[order] = enq_sorted
+        seqg = np.empty(total, dtype=np.int64)
+        seqg[order] = seq_sorted
+
+        keeps, seqs = [], []
+        off = 0
+        for n in ns:
+            k = keep[off:off + n]
+            keeps.append(k)
+            seqs.append(seqg[off:off + n][k])
+            off += n
+        kept_tables, refused = self.seen.finalize_round_all(keeps, seqs)
+        if refused:
             # budget-refused pages are seen-but-never-enqueued: persist
             # them so resume can restore the full seen set (D1 invariant)
-            self._seen_extra_parts.append(
-                acc.filter(pa.array(~enqueue)).select(["url"]))
-        acc = acc.filter(pa.array(enqueue))
-
-        seqs = np.arange(self.next_seq, self.next_seq + acc.num_rows,
-                         dtype=np.int64)
-        self.next_seq += acc.num_rows
-        acc = acc.append_column("seq", pa.array(seqs))
+            part = pa.concat_tables(refused, promote_options="default")
+            self._seen_extra_parts.append(part)
+            self._seen_extra_new.append(part)
+        if not kept_tables:
+            return _empty_frontier()
+        acc = pa.concat_tables(kept_tables, promote_options="default")
+        # back to global FIFO (seq) order — frontier rows stay in the
+        # deterministic push order regardless of shard interleaving
+        seq_np = acc.column("seq").to_numpy(zero_copy_only=False)
+        acc = acc.take(pa.array(np.argsort(seq_np)))
         if self.cfg.priority_fn is not None:
             prio = np.asarray(self.cfg.priority_fn(acc), dtype=np.int32)
         else:
@@ -391,7 +435,6 @@ class Crawler:
         # ---- the Ray Data stages over this round's frontier slice ----
         n = current.num_rows
         docs_round = None
-        cands = None
         phase_t: dict[str, float] = {}
         t_mark = time.time()
 
@@ -431,8 +474,15 @@ class Crawler:
                             out_dir=self.docs_dir, round_no=self.round,
                             enrich=cfg.enrich_docs),
                     batch_format="pyarrow", batch_size=batch_rows)
-            # ONE streaming execution per round (fetch+parse+save fused);
-            # the driver consumes the stream — this is the round barrier.
+            # explode + shard-offer runs IN the map tasks (accept path
+            # off the driver); its batched offer RPCs complete before the
+            # stage returns, so stream completion = all candidates offered
+            ds = ds.map_batches(_ExplodeOfferFn(self.seen),
+                                batch_format="pyarrow",
+                                batch_size=batch_rows)
+            # ONE streaming execution per round (fetch+parse+save+explode
+            # fused); the driver consumes only the slim doc stream — this
+            # is the round barrier.
             round_batches = [b for b in ds.iter_batches(batch_format="pyarrow")
                              if b.num_rows]
             round_tbl = pa.concat_tables(round_batches,
@@ -440,22 +490,13 @@ class Crawler:
                 if round_batches else None
             _mark("fetch_parse_save")
 
-            if round_tbl is not None:
-                # candidate explode is pure Arrow kernels over round-bounded
-                # rows: driver-side here; becomes its own map_batches stage
-                # when politeness caps stop bounding round size (huge rounds)
-                cands = explode_children(round_tbl)
-                if cands.num_rows == 0:
-                    cands = None
-                _mark("explode")
-
-                if cfg.write_docs:
-                    docs_round = round_tbl.drop_columns(
-                        [c for c in ("children", "span_canon")
-                         if c in round_tbl.column_names])
-                    docs_round = docs_round.rename_columns(
-                        ["doc_id" if c == "url" else c
-                         for c in docs_round.column_names])
+            if round_tbl is not None and cfg.write_docs:
+                docs_round = round_tbl.drop_columns(
+                    [c for c in ("span_canon",)
+                     if c in round_tbl.column_names])
+                docs_round = docs_round.rename_columns(
+                    ["doc_id" if c == "url" else c
+                     for c in docs_round.column_names])
                 _mark("save")
 
         # ---- robots-blocked rows become skipped docs (no fetch) ----
@@ -508,18 +549,17 @@ class Crawler:
                 self._docs_mem.append(docs_round.append_column("round", rc))
 
         _mark("persist")
-        # ---- accept next frontier ----
-        if cands is not None and cands.num_rows:
-            self._frontier = self._accept_candidates(cands)
-        else:
-            self._frontier = _empty_frontier()
+        # ---- accept next frontier (shard-resolved; driver cuts budget) ----
+        self._last_offered = 0
+        self._frontier = self._resolve_accept()
         if self._frontier.num_rows:
             self._visit_parts.append(self._frontier)
+            self._visit_new.append(self._frontier)
         _mark("accept")
 
         self.metrics["rounds"].append({
             "round": self.round, "frontier": n,
-            "candidates": 0 if cands is None else cands.num_rows,
+            "candidates": self._last_offered,
             "accepted_next": self._frontier.num_rows,
             "deferred": self._deferred.num_rows,
             "sec": round(time.time() - t0, 4),
@@ -539,13 +579,18 @@ class Crawler:
         os.makedirs(rdir, exist_ok=True)
         pq.write_table(self._frontier, os.path.join(rdir, "frontier.parquet"))
         pq.write_table(self._deferred, os.path.join(rdir, "deferred.parquet"))
-        visit = (pa.concat_tables(self._visit_parts)
-                 if self._visit_parts else _empty_frontier())
-        pq.write_table(visit, os.path.join(rdir, "visit.parquet"))
-        extra = (pa.concat_tables(self._seen_extra_parts)
-                 if self._seen_extra_parts
-                 else pa.table({"url": pa.array([], pa.string())}))
-        pq.write_table(extra, os.path.join(rdir, "seen_extra.parquet"))
+        # DELTA logs: only parts produced since the previous checkpoint
+        # (resume concatenates the round chain's deltas)
+        visit = (pa.concat_tables(self._visit_new)
+                 if self._visit_new else _empty_frontier())
+        self._visit_new = []
+        pq.write_table(visit, os.path.join(rdir, "visit_delta.parquet"))
+        extra = (pa.concat_tables(self._seen_extra_new)
+                 if self._seen_extra_new
+                 else pa.table({"url": pa.array([], pa.string()),
+                                "host": pa.array([], pa.string())}))
+        self._seen_extra_new = []
+        pq.write_table(extra, os.path.join(rdir, "seen_extra_delta.parquet"))
         # per-partition lineage: which docs part files this round produced
         # (workers write them; a resumed run can skip/verify completed
         # partitions by listing the manifest chain)
@@ -574,6 +619,7 @@ class Crawler:
     def run(self, seeds: list[str], max_rounds: int | None = None) -> CrawlResult:
         self.push_seeds(seeds)
         self._visit_parts.append(self._frontier)
+        self._visit_new.append(self._frontier)
         return self._loop(max_rounds)
 
     def _loop(self, max_rounds: int | None = None) -> CrawlResult:
@@ -595,7 +641,9 @@ class Crawler:
             self.metrics["pages_fetched"] / elapsed, 2) if elapsed > 0 else None
         return CrawlResult(
             visit_order=visit.select(["url", "seq", "kind"]),
-            seen=self.seen.snapshot() if self.cfg.seen_mode != "cuckoo" else [],
+            seen=self.seen.snapshot()
+            if self.cfg.snapshot_seen and self.cfg.seen_mode != "cuckoo"
+            else [],
             pages_queued=self.pages_queued,
             rounds=self.round,
             docs_dir=self.docs_dir,
@@ -647,29 +695,39 @@ class Crawler:
         self.round = manifest["round"] + 1
         self._frontier = pq.read_table(os.path.join(rdir, "frontier.parquet"))
         self._deferred = pq.read_table(os.path.join(rdir, "deferred.parquet"))
-        visit = pq.read_table(os.path.join(rdir, "visit.parquet"))
-        self._visit_parts = [visit] if visit.num_rows else []
+        # visit log = concat of the complete rounds' DELTA files (each
+        # checkpoint writes only what the round added)
+        visit_parts = []
+        extra_parts = []
+        for r in rounds:
+            vp = os.path.join(checkpoint_dir, r, "visit_delta.parquet")
+            if os.path.exists(vp):
+                t = pq.read_table(vp)
+                if t.num_rows:
+                    visit_parts.append(t)
+            ep = os.path.join(checkpoint_dir, r, "seen_extra_delta.parquet")
+            if os.path.exists(ep):
+                t = pq.read_table(ep)
+                if t.num_rows:
+                    extra_parts.append(t)
+        self._visit_parts = visit_parts
+        self._visit_new = []
+        self._seen_extra_new = []
         self.metrics = dict(manifest["metrics"])
         self.metrics["rounds"] = []
         self._docs_mem = []
+        self._last_offered = 0
         self.docs_dir = os.path.join(checkpoint_dir, "docs") \
             if cfg.write_docs else None
         # restore the seen set: every URL ever enqueued OR refused was
-        # inserted; visit log covers enqueued; re-inserting the frontier's
-        # candidate parents' children is unnecessary because rejects are
-        # idempotent. Budget-refused pages are restored from the dedup
-        # delta persisted per round.
-        urls = visit.column("url").to_pylist()
-        hosts = [host_of(u) for u in urls]
-        self.seen.bulk_restore(urls, hosts)
-        delta_path = os.path.join(rdir, "seen_extra.parquet")
-        self._seen_extra_parts = []
-        if os.path.exists(delta_path):
-            extra = pq.read_table(delta_path)
-            if extra.num_rows:
-                self._seen_extra_parts = [extra]
-                us = extra.column("url").to_pylist()
-                self.seen.bulk_restore(us, [host_of(u) for u in us])
+        # inserted; the visit deltas cover enqueued URLs (frontier rows
+        # carry their host — vectorized re-route, no per-row parsing);
+        # budget-refused seen URLs come from the seen_extra deltas.
+        for t in visit_parts:
+            self.seen.bulk_restore(t.column("url"), t.column("host"))
+        self._seen_extra_parts = extra_parts
+        for t in extra_parts:
+            self.seen.bulk_restore(t.column("url"), t.column("host"))
         return self
 
     def shutdown(self) -> None:

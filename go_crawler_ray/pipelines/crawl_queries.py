@@ -83,6 +83,25 @@ def span_stats(sf_dir: str) -> pa.Table:
     return out.sort_by([("kind", "ascending")])
 
 
+def html_extract(sf_dir: str) -> pa.Table:
+    """Render every corpus row's spans into real HTML bytes, then
+    re-extract resources with the HTML-bytes parser (M1/M2,
+    pkg/htmlparser/parser.go:20-98): (doc_id, kind, ref, res_idx).
+
+    Because the renderer plants decoy elements the per-tag rules must
+    drop, extract(render(spans)) == the corpus's resource spans exactly —
+    which is what the DuckDB oracle recomputes."""
+    from ..stages.html_extract import HtmlExtractStage, RenderHtmlStage
+
+    ds = rd.read_parquet(corpus_parquet(sf_dir))
+    out = (ds.map_batches(RenderHtmlStage(), batch_format="pyarrow")
+           .map_batches(HtmlExtractStage(), batch_format="pyarrow"))
+    parts = [b for b in out.iter_batches(batch_format="pyarrow")
+             if b.num_rows]
+    tbl = pa.concat_tables(parts)
+    return tbl.sort_by([("doc_id", "ascending"), ("res_idx", "ascending")])
+
+
 _CRAWL_CACHE: dict = {}
 
 

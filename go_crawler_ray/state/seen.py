@@ -274,17 +274,16 @@ class ShardedSeenSet:
         return out
 
     def check_and_insert_arrow(self, url_array, host_array) -> np.ndarray:
-        """Arrow-native dedup: URLs stay as Arrow buffers end-to-end; each
-        shard actor does its own to_pylist, so the driver's serial cost is
-        hashing + takes (the per-shard string materialization runs in
-        parallel inside the actors)."""
+        """Arrow-native dedup: URLs stay as Arrow buffers end-to-end; the
+        driver's serial cost is vectorized hashing + takes (per-shard
+        string materialization runs in parallel inside the actors)."""
         import pyarrow as pa
 
         n = len(url_array)
         if n == 0:
             return np.zeros(0, dtype=bool)
-        sid = shard_of_many(url_array.to_pylist(), host_array.to_pylist(),
-                            self.num_shards, self.salt_k)
+        sid = shard_of_arrow(url_array, host_array,
+                             self.num_shards, self.salt_k)
         out = np.zeros(n, dtype=bool)
         futures = []
         for s in np.unique(sid):
@@ -294,6 +293,41 @@ class ShardedSeenSet:
         for idx, fut in futures:
             out[idx] = ray.get(fut)
         return out
+
+    # -- distributed round-accept protocol (driver side) -------------------
+    def offer_arrow(self, cand: "pa.Table") -> None:
+        """Route a candidate table to its shards (vectorized) and buffer
+        it there. Called from the driver (seeds) or from inside map
+        tasks (the explode stage) — same code either way."""
+        if cand.num_rows == 0:
+            return
+        sid = shard_of_arrow(cand.column("url"), cand.column("host"),
+                             self.num_shards, self.salt_k)
+        futs = []
+        for s in np.unique(sid):
+            part = cand.filter(pa.array(sid == s))
+            futs.append(self.actors[int(s)].offer.remote(part))
+        ray.get(futs)
+
+    def dedup_round_all(self) -> tuple[list, int]:
+        """Barrier: every shard resolves its buffered candidates (sort,
+        first-occurrence, seen insert). Returns ([slim tables in shard
+        order], total offered count)."""
+        got = ray.get([a.dedup_round.remote() for a in self.actors])
+        return [g["slim"] for g in got], sum(g["offered"] for g in got)
+
+    def finalize_round_all(self, keeps: list[np.ndarray],
+                           seqs: list[np.ndarray]) -> tuple[list, list]:
+        """Apply the driver's budget cut per shard; returns ([kept
+        frontier tables], [refused (url, host) tables])."""
+        got = ray.get([
+            a.finalize_round.remote(keeps[i], seqs[i])
+            for i, a in enumerate(self.actors)])
+        kept = [g["kept"] for g in got if g["kept"] is not None
+                and g["kept"].num_rows]
+        refused = [g["refused"] for g in got if g["refused"] is not None
+                   and g["refused"].num_rows]
+        return kept, refused
 
     def contains(self, urls: list[str], hosts: list[str]) -> np.ndarray:
         n = len(urls)
@@ -310,13 +344,21 @@ class ShardedSeenSet:
             out[idx] = ray.get(fut)
         return out
 
-    def bulk_restore(self, urls: list[str], hosts: list[str]) -> None:
-        sid = self.shard_ids(urls, hosts)
+    def bulk_restore(self, urls, hosts) -> None:
+        """Checkpoint-resume re-insert; accepts lists or Arrow arrays
+        (vectorized routing either way)."""
+        if isinstance(urls, list):
+            urls = pa.array(urls, pa.string())
+        if isinstance(hosts, list):
+            hosts = pa.array(hosts, pa.string())
+        if len(urls) == 0:
+            return
+        sid = shard_of_arrow(urls, hosts, self.num_shards, self.salt_k)
         futs = []
         for s in np.unique(sid):
             idx = np.nonzero(sid == s)[0]
             futs.append(self.actors[int(s)].bulk_restore.remote(
-                [urls[i] for i in idx]))
+                urls.take(pa.array(idx))))
         ray.get(futs)
 
     def total_size(self) -> int:
