@@ -6,10 +6,12 @@ nothing here (nor in the library) initialises or shuts down Ray.
 - ``entry()``   — flagship crawl pipeline on /root/testdata/sf0.001.
 - ``queries()`` — one callable per implemented operator (SURVEY.md §2 +
   the training-data additions); each takes ``sf_dir``.
-- ``oracle_sql()`` — DuckDB-equivalent SQL per query where ANSI SQL can
-  express the computation (column names match the Ray outputs exactly);
-  non-SQL-expressible ops (BFS crawl, MinHash/SimHash/LSH, language-ID
-  heuristic) are intentionally omitted -> rows-only checks.
+- ``oracle_sql()`` — DuckDB-equivalent SQL per query where SQL can
+  express the computation (column names match the Ray outputs exactly).
+  The budgeted BFS crawl itself is oracled by a recursive-CTE simulation
+  (pipelines/crawl_oracle.py). Still rows-only: crawl_metrics (wall
+  times), MinHash/SimHash/LSH outputs (hash-function-specific), langid
+  (heuristic), multimodal_features (byte-histogram kernel).
 """
 
 from __future__ import annotations
@@ -39,10 +41,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_extract_resources": _cq.extract_resources,
         "crawl_html_extract": _cq.html_extract,
         "crawl_span_stats": _cq.span_stats,
-        "crawl_bfs_visit_order": _cq.bfs_visit_order,       # rows-only
-        "crawl_docs_out": _cq.crawl_docs_out,               # rows-only
-        "crawl_seen_set": _cq.crawl_seen_set,               # rows-only
-        "crawl_metrics": _cq.crawl_metrics,                 # rows-only
+        "crawl_bfs_visit_order": _cq.bfs_visit_order,
+        "crawl_docs_out": _cq.crawl_docs_out,
+        "crawl_seen_set": _cq.crawl_seen_set,
+        "crawl_metrics": _cq.crawl_metrics,                 # rows-only (wall times)
         # --- relational core ---
         "pricing_summary": _rel.pricing_summary,
         "segment_revenue": _rel.segment_revenue,
@@ -63,11 +65,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_clusters": _dedup.minhash_clusters,  # rows-only
         "dedup_simhash": _dedup.simhash_signatures,         # rows-only
         "dedup_simhash_pairs": _dedup.simhash_near_pairs,   # rows-only
-        "dedup_ngram_jaccard": _dedup.ngram_jaccard_pairs,  # rows-only
+        "dedup_ngram_jaccard": _dedup.ngram_jaccard_pairs,
         "dedup_embedding_cosine": _dedup.embedding_near_pairs,
         # --- similarity search ---
         "ann_brute_force_topk": _ann.brute_force_topk,
         "ann_lsh_topk": _ann.lsh_topk,                      # rows-only
+        "ann_ivf_topk": _ann.ivf_topk,                      # rows-only
         # --- multimodal ---
         "multimodal_media_meta": _mm.media_metadata,
         "multimodal_resize": _mm.media_resize,
@@ -186,6 +189,22 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT array_to_string(({_TOKENS})[1:3], ' ') AS dedup_key, "
             f"MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_dups "
             f"FROM documents GROUP BY dedup_key ORDER BY dedup_key"),
+        # exact all-pairs shingle Jaccard — the engine's prefix-filtered
+        # similarity join must reproduce this with full recall
+        "dedup_ngram_jaccard": (
+            f"WITH sh AS (SELECT doc_id, CASE WHEN len(t) < 3 "
+            f"THEN [array_to_string(t, ' ')] ELSE list_distinct("
+            f"list_transform(range(1, len(t) - 1), "
+            f"i -> array_to_string(t[i:i+2], ' '))) END AS s "
+            f"FROM (SELECT doc_id, {_TOKENS} AS t FROM documents)), "
+            f"pairs AS (SELECT a.doc_id AS a, b.doc_id AS b, "
+            f"len(list_intersect(a.s, b.s)) AS inter, "
+            f"len(a.s) AS na, len(b.s) AS nb "
+            f"FROM sh a JOIN sh b ON a.doc_id < b.doc_id) "
+            f"SELECT a, b, ROUND(CAST(inter AS DOUBLE) / "
+            f"(na + nb - inter), 4) AS jaccard FROM pairs "
+            f"WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5 "
+            f"ORDER BY a, b"),
         "dedup_embedding_cosine": (
             "SELECT a.vec_id AS a, b.vec_id AS b, "
             "ROUND(list_cosine_similarity(a.embedding, b.embedding), 4) AS cos "

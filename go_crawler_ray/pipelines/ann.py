@@ -73,6 +73,80 @@ def brute_force_topk(sf_dir: str, n_queries: int = 8, k: int = 5) -> pd.DataFram
     return out
 
 
+def ivf_topk(sf_dir: str, n_queries: int = 8, k: int = 5,
+             n_lists: int = 16, n_probe: int = 4,
+             n_train: int = 2048, iters: int = 8,
+             seed: int = 13) -> pd.DataFrame:
+    """Approximate top-k via an IVF (inverted-file) coarse quantizer —
+    the classic ANN scale path (Jegou et al. 2011 "Product quantization
+    for nearest neighbor search"'s coarse stage, without PQ codes).
+
+    Train: k-means (Lloyd, fixed iters, seeded) over a bounded sample on
+    the driver — at 10^10 rows this becomes minibatch k-means over
+    map_batches partial sums; the sample bound keeps the driver O(1).
+    Search: ONE distributed pass — each batch assigns its vectors to the
+    nearest centroid (argmax cosine) and scores them only against
+    queries probing that centroid's list (n_probe nearest lists per
+    query); the driver merges per-batch partial top-k. Deterministic
+    given the seed."""
+    q_ids, Qn = _load_queries(sf_dir, n_queries)
+
+    train = (rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                             columns=["embedding"])
+             .limit(n_train).to_pandas())
+    T = np.stack(train["embedding"].to_numpy()).astype(np.float64)
+    Tn = T / np.linalg.norm(T, axis=1, keepdims=True)
+    rng = np.random.default_rng(seed)
+    C = Tn[rng.choice(len(Tn), size=min(n_lists, len(Tn)), replace=False)]
+    for _ in range(iters):                     # spherical k-means
+        assign = np.argmax(Tn @ C.T, axis=1)
+        for c in range(len(C)):
+            m = assign == c
+            if m.any():
+                v = Tn[m].sum(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    C[c] = v / n
+
+    q_probe = np.argsort(-(Qn @ C.T), axis=1)[:, :n_probe]  # q x n_probe
+    ref = ray.put((q_ids, Qn, C, q_probe))
+
+    class IvfProbe:
+        def __init__(self):
+            self.q_ids, self.Qn, self.C, self.q_probe = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            ids = batch["vec_id"].to_numpy()
+            V = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            assign = np.argmax(Vn @ self.C.T, axis=1)
+            out = {"query_id": [], "neighbor_id": [], "cos": []}
+            for qi in range(len(self.q_ids)):
+                m = np.isin(assign, self.q_probe[qi])
+                if not m.any():
+                    continue
+                cos = Vn[m] @ self.Qn[qi]
+                out["query_id"].extend([self.q_ids[qi]] * int(m.sum()))
+                out["neighbor_id"].extend(ids[m])
+                out["cos"].extend(cos)
+            return pd.DataFrame({
+                "query_id": np.array(out["query_id"], dtype="int64"),
+                "neighbor_id": np.array(out["neighbor_id"], dtype="int64"),
+                "cos": np.array(out["cos"], dtype="float64"),
+            })
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    cand = ds.map_batches(IvfProbe, batch_format="pandas",
+                          concurrency=2, batch_size=1024).to_pandas()
+    cand = cand[cand["query_id"] != cand["neighbor_id"]]
+    cand = cand.sort_values(["query_id", "cos", "neighbor_id"],
+                            ascending=[True, False, True])
+    out = cand.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    out["cos"] = round_half_away(out["cos"])
+    return out
+
+
 def lsh_topk(sf_dir: str, n_queries: int = 8, k: int = 5,
              n_bits: int = 8, n_tables: int = 4,
              seed: int = 11) -> pd.DataFrame:

@@ -4,18 +4,24 @@ Architecture (SURVEY.md §7.1):
 
 ```
 seeds -> frontier_0
-round k:
-  [1] fetch:  map_batches(FetchFn)    corpus lookup, size gate, retry
-  [2] parse:  map_batches(ParseFn)    spans -> canonicalized children
-      (materialize: the round barrier — level-synchronized BFS)
-  [3] save:   map_batches(SaveFn)     save_path + localized content
-      docs -> checkpoint_dir/round_k/docs.parquet
-  [4] dedup:  ordered first-occurrence + sharded seen actors
-      (anti-join via batched check_and_insert RPC, queue.go:92-96)
-  [5] budget: limit accepted pages in (parent_seq, position) order
-      (enqueue-time budget AFTER seen-insert, queue.go:101-106)
-  [6] politeness [NEW]: robots filter + per-host tokens; excess deferred
-  frontier_{k+1} + manifest -> checkpoint
+round k (ONE fused streaming execution over the round's frontier):
+  [1] fetch:   map_batches(FetchFn)    corpus lookup, size gate, retry
+  [2] parse:   map_batches(ParseFn)    spans -> canonicalized children
+  [3] save:    map_batches(SaveFn)     save_path + localized content;
+               full doc rows stream to partitioned parquet WORKER-side
+  [4] explode: map_batches(ExplodeOfferFn)  children -> candidate rows,
+               vectorized crc32 shard routing, batched offer() RPCs to
+               the seen shards (candidates buffer SHARD-side)
+      (stream consumed = round barrier — level-synchronized BFS)
+  [5] dedup:   shards resolve in parallel — push-order sort, first-
+               occurrence per URL, seen insert (queue.go:92-96); the
+               driver receives only (parent_seq, position, is_page) ints
+  [6] budget+seq: driver cumsum over the slim ints — enqueue-time page
+               budget AFTER seen-insert (queue.go:101-106); shards then
+               materialize their kept frontier rows (refused pages stay
+               seen: the D1 invariant)
+  [7] politeness [NEW]: robots filter + per-host tokens; excess deferred
+  frontier_{k+1} + delta checkpoint (visit/seen-extra deltas + manifest)
 until frontier and deferral queue empty, or page budget exhausted+drained
 ```
 
@@ -38,12 +44,15 @@ is a single ``ray.put`` (zero-copy reads from the object store).
 
 Scale notes (10^10-URL frontier): every per-round dataset here is bounded
 by the round's frontier slice (politeness caps it), never the whole
-frontier; candidate ordering/seq assignment is a sort + offset-index — at
-cluster scale the driver-side ordered-accept step becomes
-``ds.sort(["parent_seq","position"])`` plus per-block offset numbering
-(the code path is the same vectorized kernel, applied per block). Docs
-stream straight to partitioned Parquet per round (resumable); the corpus
-side would swap InMemoryCorpusBackend for PartitionedCorpusBackend.
+frontier. Candidate URL strings never aggregate on the driver: they flow
+map task -> seen shard -> (kept rows only) frontier; per-round driver
+state is O(accepted) integer columns plus the assembled next frontier.
+Docs stream straight to partitioned Parquet per round (resumable); the
+corpus side would swap InMemoryCorpusBackend for
+PartitionedCorpusBackend. The one remaining driver-resident structure is
+the inter-round frontier table itself — bounded by politeness round caps;
+at 10^10 keep it as per-shard tables/object refs and feed
+``rd.from_arrow`` directly from those.
 """
 
 from __future__ import annotations
@@ -301,15 +310,49 @@ class Crawler:
 
     # -- seed / push ------------------------------------------------------
     def push_seeds(self, seeds: list[str]) -> None:
+        n = len(seeds)
+        urls = pa.array(seeds, pa.string())
+        # vectorized host extraction (Arrow kernels); host_of fallback
+        # only for refs the canonical-URL regex can't split
+        stripped = pc.replace_substring_regex(urls, r"^[a-z][a-z0-9+.\-]*://",
+                                              "", max_replacements=1)
+        changed = pc.not_equal(stripped, urls)
+        hosts_fast = pc.list_element(
+            pc.split_pattern(stripped, "/", max_splits=1), 0)
+        hosts = pc.if_else(changed, hosts_fast, pa.scalar("", pa.string()))
+        if not pc.all(changed).as_py():
+            hl = hosts.to_pylist()
+            for i, (u, c) in enumerate(zip(seeds, changed.to_pylist())):
+                if not c:
+                    hl[i] = host_of(u)
+            hosts = pa.array(hl, pa.string())
         cand = pa.table({
-            "url": pa.array(seeds, pa.string()),
-            "kind": pa.array(["page"] * len(seeds)),
-            "parent_seq": pa.array([-1] * len(seeds), pa.int64()),
-            "position": pa.array(np.arange(len(seeds), dtype=np.int32)),
-            "depth": pa.array([0] * len(seeds), pa.int32()),
-            "host": pa.array([host_of(u) for u in seeds]),
+            "url": urls,
+            "kind": pa.array(np.full(n, "page", dtype=object)),
+            "parent_seq": pa.array(np.full(n, -1, dtype=np.int64)),
+            "position": pa.array(np.arange(n, dtype=np.int32)),
+            "depth": pa.array(np.zeros(n, dtype=np.int32)),
+            "host": hosts,
         })
-        self.seen.offer_arrow(cand)
+        if n > 16_384:
+            # giant seeded frontiers (the drain regime): route+offer from
+            # map tasks so the seed push parallelizes like any round
+            nblocks = int(np.clip(n // 16_384 + 1,
+                                  1, 4 * self.cfg.fetch_concurrency))
+            step = -(-n // nblocks)
+            slices = [cand.slice(i, step) for i in range(0, n, step)]
+            seen = self.seen
+
+            def offer_batch(batch: pa.Table) -> pa.Table:
+                seen.offer_arrow(batch)
+                return batch.select(["url"]).slice(0, 0)
+
+            (rd.from_arrow(slices)
+             .map_batches(offer_batch, batch_format="pyarrow",
+                          batch_size=step)
+             .count())
+        else:
+            self.seen.offer_arrow(cand)
         self._frontier = self._resolve_accept()
 
     # -- the ordered accept step (dedup -> budget -> seq) ------------------

@@ -15,16 +15,21 @@ The large-scale training-data dedup toolkit, Ray-Data-first:
 - **SimHash** (Charikar 2002, "Similarity estimation techniques from
   rounding algorithms"; blocking per Manku et al. 2007): 64-bit
   signatures per doc + Hamming-near pairs via band-blocking (4x16-bit
-  bands must collide on one band).
-- **n-gram Jaccard**: the verification kernel exposed directly.
-- **embedding cosine**: near-dup pairs over the embedding column via
-  blockwise matmul against a broadcast normalized matrix.
+  bands must collide on one band), pairs enumerated per bucket in a
+  distributed groupby with chunked scans (no bucket-size cap).
+- **n-gram Jaccard**: exact full-recall set-similarity self-join via
+  prefix filtering (Xiao et al. 2008, PPJoin's prefix principle) —
+  admits an all-pairs SQL oracle.
+- **embedding cosine**: exact cosine self-join as a partitioned
+  block-pair matmul over object-store block refs (distributed-GEMM
+  layout; no full-matrix materialization on any node).
 
-Driver-side union-find is used for the final connected components over
-*candidate pairs only* (a set that LSH keeps tiny); the band groupby and
-signature computation — the O(corpus) work — stay distributed. At
+Every O(corpus) stage — signatures, banding, bucket pairs, candidate
+shingling (broadcast semi-join), pair verification — runs in map_batches
+/ groupby. The driver handles only candidate-pair lists (small by LSH /
+prefix-filter design) and the final union-find over verified pairs; at
 10^10-doc scale, swap the driver union-find for a few rounds of
-min-label propagation with groupby (documented in cluster_minhash).
+min-label propagation with groupby.
 """
 
 from __future__ import annotations
@@ -87,6 +92,16 @@ def _shingles(text: str, k: int = 3) -> set[int]:
         return {zlib.crc32(" ".join(toks).encode())}
     return {zlib.crc32(" ".join(toks[i:i + k]).encode())
             for i in range(len(toks) - k + 1)}
+
+
+def _string_shingles(text: str, k: int = 3) -> set[str]:
+    """Un-hashed shingles — used where exact Jaccard must match a SQL
+    oracle bit for bit (a crc collision would silently change a hashed
+    set's cardinality)."""
+    toks = _WS.split(text.strip())
+    if len(toks) < k:
+        return {" ".join(toks)}
+    return {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
 
 
 class MinHasher:
@@ -169,10 +184,81 @@ class _UnionFind:
             self.parent[max(ra, rb)] = min(ra, rb)
 
 
+def _collect_candidate_shingles(sf_dir: str, doc_ids,
+                                shingle_k: int = 3,
+                                string_shingles: bool = False) -> dict:
+    """Distributed semi-join: broadcast the candidate-id set (ray.put
+    once), filter + shingle inside map_batches, and return only the
+    candidates' shingle sets to the driver (a set LSH keeps tiny).
+    The full corpus is never scanned on the driver."""
+    need_ref = ray.put(np.array(sorted(doc_ids), dtype=np.int64))
+
+    class ShingleCandidates:
+        def __init__(self):
+            self.need = ray.get(need_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            m = np.isin(batch["doc_id"].to_numpy(), self.need)
+            sub = batch[m]
+            rows = []
+            for d, t in zip(sub["doc_id"], sub["text"]):
+                sh = (_string_shingles(t, shingle_k) if string_shingles
+                      else _shingles(t, shingle_k))
+                rows.append((int(d), sorted(sh)))
+            return pd.DataFrame(rows, columns=["doc_id", "shingles"])
+
+    got = (_read_docs(sf_dir, ["doc_id", "text"])
+           .map_batches(ShingleCandidates, batch_format="pandas",
+                        concurrency=2)
+           .to_pandas())
+    return {int(d): set(s) for d, s in zip(got["doc_id"], got["shingles"])}
+
+
+def _verify_pairs_distributed(pairs: list[tuple[int, int]],
+                              shingles: dict, threshold: float) -> pd.DataFrame:
+    """Exact-Jaccard verification as a map_batches stage over the pair
+    list, with the (candidate-only) shingle map broadcast once."""
+    if not pairs:
+        return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                             "b": pd.Series(dtype="int64"),
+                             "jaccard": pd.Series(dtype="float64")})
+    sh_ref = ray.put(shingles)
+
+    class VerifyJaccard:
+        def __init__(self):
+            self.sh = ray.get(sh_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            out_a, out_b, out_j = [], [], []
+            for a, b in zip(batch["a"], batch["b"]):
+                sa, sb = self.sh[int(a)], self.sh[int(b)]
+                u = len(sa | sb)
+                j = len(sa & sb) / u if u else 1.0
+                if j >= threshold:
+                    out_a.append(int(a)); out_b.append(int(b))
+                    out_j.append(j)
+            return pd.DataFrame({
+                "a": np.array(out_a, dtype="int64"),
+                "b": np.array(out_b, dtype="int64"),
+                "jaccard": round_half_away(np.array(out_j, dtype="float64")),
+            })
+
+    ds = rd.from_pandas(pd.DataFrame(pairs, columns=["a", "b"]))
+    out = ds.map_batches(VerifyJaccard, batch_format="pandas",
+                         concurrency=2).to_pandas()
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
 def minhash_clusters(sf_dir: str, threshold: float = 0.8,
                      num_perms: int = 64, bands: int = 16) -> pd.DataFrame:
     """(doc_id, cluster_id): near-dup clusters; cluster_id = min doc_id of
-    the component. Docs with no near-dup are their own cluster."""
+    the component. Docs with no near-dup are their own cluster.
+
+    All O(corpus) work is distributed: signatures + banding
+    (map_batches), bucket pairs (groupby), candidate shingling (semi-join
+    map_batches), exact-Jaccard verify (map_batches over pairs). Only
+    union-find over the verified pairs — O(near-dup pairs) — runs on the
+    driver (swap for min-label-propagation rounds at 10^10 docs)."""
     ds = _read_docs(sf_dir, ["doc_id", "text"])
     band_ds = ds.map_batches(MinHashStage, batch_format="pandas",
                              concurrency=2,
@@ -180,24 +266,13 @@ def minhash_clusters(sf_dir: str, threshold: float = 0.8,
                                                     "bands": bands})
     cands = _candidate_pairs(band_ds)
 
-    # exact-Jaccard verify (fetch only candidate docs' texts: semi-join
-    # via broadcast id-set filter)
     uf = _UnionFind()
     if cands:
-        need = sorted({i for p in cands for i in p})
-        need_set = set(need)
-        texts: dict[int, set[int]] = {}
-        for b in (_read_docs(sf_dir, ["doc_id", "text"])
-                  .map_batches(lambda t: t, batch_format="pyarrow")
-                  .iter_batches(batch_format="pyarrow")):
-            for d, t in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
-                if d in need_set:
-                    texts[d] = _shingles(t)
-        for a, b_ in sorted(cands):
-            sa, sb = texts[a], texts[b_]
-            j = len(sa & sb) / len(sa | sb) if sa | sb else 1.0
-            if j >= threshold:
-                uf.union(a, b_)
+        need = {i for p in cands for i in p}
+        sh = _collect_candidate_shingles(sf_dir, need)
+        verified = _verify_pairs_distributed(sorted(cands), sh, threshold)
+        for a, b_ in zip(verified["a"], verified["b"]):
+            uf.union(int(a), int(b_))
 
     all_ids = _read_docs(sf_dir, ["doc_id"]).to_pandas()["doc_id"]
     cluster = np.array([uf.find(int(d)) if int(d) in uf.parent else int(d)
@@ -234,29 +309,91 @@ def simhash_signatures(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+_POP16 = np.unpackbits(
+    np.arange(65536, dtype=np.uint16).view(np.uint8).reshape(-1, 2),
+    axis=1).sum(axis=1).astype(np.int64)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount via a 16-bit lookup table."""
+    x = x.astype(np.uint64)
+    out = np.zeros(len(x), dtype=np.int64)
+    for s in (0, 16, 32, 48):
+        out += _POP16[((x >> np.uint64(s)) & np.uint64(0xFFFF)).astype(np.int64)]
+    return out
+
+
 def simhash_near_pairs(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
-    """(a, b, hamming) pairs within ``max_hamming`` bits, found by 4x16-bit
-    band blocking (a pair within 3 bits must agree on >=1 band)."""
-    sigs = simhash_signatures(sf_dir)
-    ids = sigs["doc_id"].to_numpy()
-    h = sigs["simhash"].to_numpy().view(np.uint64)
-    cands: set[tuple[int, int]] = set()
-    for band in range(4):
-        key = (h >> np.uint64(band * 16)) & np.uint64(0xFFFF)
-        df = pd.DataFrame({"key": key, "i": np.arange(len(ids))})
-        for _, g in df.groupby("key"):
-            if 1 < len(g) <= 200:
-                ii = g["i"].to_numpy()
-                a, b = np.triu_indices(len(ii), k=1)
-                cands.update(zip(ii[a], ii[b]))
-    rows_a, rows_b, rows_d = [], [], []
-    for i, j in sorted(cands):
-        d = int(bin(int(h[i]) ^ int(h[j])).count("1"))
-        if d <= max_hamming:
-            rows_a.append(int(ids[i])); rows_b.append(int(ids[j])); rows_d.append(d)
-    return pd.DataFrame({"a": np.array(rows_a, dtype="int64"),
-                         "b": np.array(rows_b, dtype="int64"),
-                         "hamming": np.array(rows_d, dtype="int64")})
+    """(a, b, hamming) pairs within ``max_hamming`` bits, via 4x16-bit
+    band blocking (Manku et al. 2007: a pair within 3 bits must agree on
+    >=1 band).
+
+    Fully distributed: band explode (map_batches) -> bucket groupby ->
+    per-bucket pair enumeration with CHUNKED block scans (no bucket-size
+    cap — the documented recall guarantee holds even for hot buckets) ->
+    distinct-pair groupby. The driver receives only the final pairs."""
+
+    def explode_bands(batch: pd.DataFrame) -> pd.DataFrame:
+        h = batch["simhash"].to_numpy().view(np.uint64)
+        ids = batch["doc_id"].to_numpy()
+        parts = []
+        for band in range(4):
+            key = ((h >> np.uint64(band * 16)) & np.uint64(0xFFFF))
+            parts.append(pd.DataFrame({
+                "band": np.full(len(ids), band, dtype="int32"),
+                "key": key.astype("int64"),
+                "doc_id": ids.astype("int64"),
+                "simhash": h.view(np.int64),
+            }))
+        return pd.concat(parts, ignore_index=True)
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["doc_id"].to_numpy()
+        h = g["simhash"].to_numpy().view(np.uint64)
+        order = np.argsort(ids)
+        ids, h = ids[order], h[order]
+        n = len(ids)
+        out_a, out_b, out_d = [], [], []
+        if n >= 2:
+            # chunked upper-triangle scan: memory stays O(chunk x n)
+            for i0 in range(0, n - 1, 512):
+                i1 = min(i0 + 512, n - 1)
+                blk = slice(i0, i1)
+                d = _popcount64(
+                    (h[blk, None] ^ h[None, :]).ravel()).reshape(i1 - i0, n)
+                bi, bj = np.nonzero(d <= max_hamming)
+                keep = (bi + i0) < bj            # strict upper triangle
+                out_a.append(ids[bi[keep] + i0])
+                out_b.append(ids[bj[keep]])
+                out_d.append(d[bi[keep], bj[keep]])
+        if not out_a:
+            return pd.DataFrame({"a": np.array([], dtype="int64"),
+                                 "b": np.array([], dtype="int64"),
+                                 "hamming": np.array([], dtype="int64")})
+        return pd.DataFrame({
+            "a": np.concatenate(out_a).astype("int64"),
+            "b": np.concatenate(out_b).astype("int64"),
+            "hamming": np.concatenate(out_d).astype("int64"),
+        })
+
+    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return g.iloc[:1][["a", "b", "hamming"]]
+
+    sig_ds = (_read_docs(sf_dir, ["doc_id", "text"])
+              .map_batches(SimHashStage, batch_format="pandas",
+                           concurrency=2))
+    pairs = (sig_ds.map_batches(explode_bands, batch_format="pandas")
+             .groupby(["band", "key"])
+             .map_groups(bucket_pairs, batch_format="pandas")
+             .groupby(["a", "b"])           # a pair may collide in >1 band
+             .map_groups(dedup_pairs, batch_format="pandas")
+             .to_pandas())
+    if pairs.empty:
+        return pd.DataFrame({"a": np.array([], dtype="int64"),
+                             "b": np.array([], dtype="int64"),
+                             "hamming": np.array([], dtype="int64")})
+    return (pairs.astype({"a": "int64", "b": "int64", "hamming": "int64"})
+            .sort_values(["a", "b"]).reset_index(drop=True))
 
 
 # ---------------------------------------------------------------------------
@@ -264,61 +401,125 @@ def simhash_near_pairs(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
 
 def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5,
                         shingle_k: int = 3) -> pd.DataFrame:
-    """(a, b, jaccard) for candidate pairs from MinHash banding, verified
-    with exact shingle Jaccard."""
-    ds = _read_docs(sf_dir, ["doc_id", "text"])
-    band_ds = ds.map_batches(MinHashStage, batch_format="pandas",
-                             concurrency=2,
-                             fn_constructor_kwargs={"shingle_k": shingle_k})
-    cands = _candidate_pairs(band_ds)
-    docs = _read_docs(sf_dir, ["doc_id", "text"]).to_pandas()
-    sh = {int(d): _shingles(t, shingle_k)
-          for d, t in zip(docs["doc_id"], docs["text"])}
-    rows = []
-    for a, b in sorted(cands):
-        sa, sb = sh[int(a)], sh[int(b)]
-        j = len(sa & sb) / len(sa | sb) if sa | sb else 1.0
-        if j >= threshold:
-            rows.append((int(a), int(b), round_half_away(j)))
-    return pd.DataFrame(rows, columns=["a", "b", "jaccard"]).astype(
-        {"a": "int64", "b": "int64"})
+    """(a, b, jaccard) for EVERY pair with exact shingle-set Jaccard >=
+    ``threshold`` — a full-recall exact similarity join (so it admits a
+    value-exact all-pairs SQL oracle), not an LSH approximation.
+
+    Shape (prefix-filtered set-similarity join, Xiao et al. 2008
+    "Efficient Similarity Joins for Near Duplicate Detection" — public):
+    per-doc shingle sets (map_batches) -> explode only each doc's PREFIX
+    shingles (|S| - ceil(t*|S|) + 1 smallest under a global order; any
+    pair with J >= t must share one) -> groupby(shingle) -> candidate
+    pairs -> distinct -> distributed exact-Jaccard verify over candidate
+    docs only (broadcast semi-join). Shingles stay strings end-to-end —
+    hashing could alter set cardinality on collision and break the
+    oracle."""
+    import math
+
+    def prefix_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for d, t in zip(batch["doc_id"], batch["text"]):
+            sh = sorted(_string_shingles(t, shingle_k))
+            plen = len(sh) - math.ceil(threshold * len(sh)) + 1
+            for s in sh[:max(1, plen)]:
+                rows.append((s, int(d)))
+        return pd.DataFrame(rows, columns=["shingle", "doc_id"])
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["doc_id"].unique())
+        if len(ids) < 2:
+            return pd.DataFrame({"a": np.array([], dtype="int64"),
+                                 "b": np.array([], dtype="int64")})
+        a, b = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"a": ids[a].astype("int64"),
+                             "b": ids[b].astype("int64")})
+
+    cand_df = (_read_docs(sf_dir, ["doc_id", "text"])
+               .map_batches(prefix_rows, batch_format="pandas")
+               .groupby("shingle")
+               .map_groups(bucket_pairs, batch_format="pandas")
+               .to_pandas())
+    cands = sorted(set(zip(cand_df["a"], cand_df["b"])))
+    if not cands:
+        return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                             "b": pd.Series(dtype="int64"),
+                             "jaccard": pd.Series(dtype="float64")})
+    need = {i for p in cands for i in p}
+    sh = _collect_candidate_shingles(sf_dir, need, shingle_k,
+                                     string_shingles=True)
+    return _verify_pairs_distributed(cands, sh, threshold)
 
 
 # ---------------------------------------------------------------------------
 # embedding-cosine near-dup
 
 def embedding_near_pairs(sf_dir: str, threshold: float = 0.45) -> pd.DataFrame:
-    """(a, b, cos) for vector pairs with cosine >= threshold.
+    """(a, b, cos) for vector pairs with cosine >= threshold — an EXACT
+    cosine similarity self-join, computed as a partitioned block-pair
+    matmul:
 
-    Blockwise: the full normalized matrix is broadcast once (ray.put);
-    each batch computes batch x corpus similarities with one matmul and
-    emits only above-threshold pairs with a < b."""
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                         columns=["vec_id", "embedding"])
-    full = ds.to_pandas().sort_values("vec_id")
-    ids = full["vec_id"].to_numpy()
-    V = np.stack(full["embedding"].to_numpy()).astype(np.float64)
-    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
-    ref = ray.put((ids, Vn))
+    1. normalize per batch (map_batches) and materialize — the blocks
+       stay in the object store; the driver holds only their ObjectRefs;
+    2. fan out one task per block PAIR (i <= j); each task zero-copy
+       reads its two blocks and emits only above-threshold pairs.
 
-    class CosineBlock:
-        def __init__(self):
-            self.ids, self.Vn = ray.get(ref)
+    No full-matrix materialization anywhere (neither driver nor any one
+    worker); at cluster scale the block-pair grid is the classic
+    distributed GEMM layout. The O(N^2/B^2) pair grid is inherent to an
+    exact join — pipelines/ann.py's hyperplane-LSH buckets are the
+    approximate fast path when recall < 1 is acceptable."""
+
+    def normalize(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["vec_id"].to_numpy().astype("int64")
+        V = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        return pd.DataFrame({"vec_id": ids, "embedding": list(Vn)})
+
+    mat = (rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id", "embedding"])
+           .map_batches(normalize, batch_format="pandas", batch_size=2048)
+           .materialize())
+    refs = mat.to_arrow_refs()            # driver keeps refs, not data
+
+    class BlockPairCosine:
+        """One call per (i, j) block pair; blocks cached per actor."""
+
+        def __init__(self, refs):
+            self.refs = refs
+            self._cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+        def _block(self, i: int):
+            got = self._cache.get(i)
+            if got is None:
+                tbl = ray.get(self.refs[i])
+                ids = tbl.column("vec_id").to_numpy(
+                    zero_copy_only=False).astype("int64")
+                V = np.stack(tbl.column("embedding").to_pylist())
+                got = self._cache[i] = (ids, V)
+            return got
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            bid = batch["vec_id"].to_numpy()
-            B = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
-            Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
-            S = Bn @ self.Vn.T
-            bi, cj = np.nonzero(S >= threshold)
-            a = bid[bi]; b = self.ids[cj]
-            keep = a < b
-            return pd.DataFrame({
-                "a": a[keep].astype("int64"),
-                "b": b[keep].astype("int64"),
-                "cos": round_half_away(S[bi, cj][keep]),
-            })
+            out = []
+            for i, j in zip(batch["bi"], batch["bj"]):
+                ids_i, Vi = self._block(int(i))
+                ids_j, Vj = self._block(int(j))
+                S = Vi @ Vj.T
+                bi, bj = np.nonzero(S >= threshold)
+                a, b = ids_i[bi], ids_j[bj]
+                keep = a < b
+                out.append(pd.DataFrame({
+                    "a": a[keep], "b": b[keep],
+                    "cos": round_half_away(S[bi, bj][keep]),
+                }))
+            return (pd.concat(out, ignore_index=True) if out
+                    else pd.DataFrame({"a": [], "b": [], "cos": []}))
 
-    out = ds.map_batches(CosineBlock, batch_format="pandas",
-                         concurrency=2, batch_size=512).to_pandas()
+    grid = [{"bi": i, "bj": j} for i in range(len(refs))
+            for j in range(i, len(refs))]
+    out = (rd.from_items(grid)
+           .map_batches(BlockPairCosine, batch_format="pandas",
+                        batch_size=4, concurrency=2,
+                        fn_constructor_kwargs={"refs": refs})
+           .to_pandas())
+    out = out.astype({"a": "int64", "b": "int64"})
     return out.sort_values(["a", "b"]).reset_index(drop=True)

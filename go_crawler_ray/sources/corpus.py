@@ -78,6 +78,12 @@ class CorpusParams:
             return CorpusParams(n_hosts=8, pages_per_host=8000,
                                 assets_per_page=4, links_per_page=8,
                                 text_words=300, asset_words=600)
+        if scale == "benchxl":  # ~2x bench — the scaling-efficiency
+            # sample (a larger drain shrinks the fixed-cost fraction,
+            # closer to the metric's 10^10-URL regime)
+            return CorpusParams(n_hosts=8, pages_per_host=16000,
+                                assets_per_page=4, links_per_page=8,
+                                text_words=300, asset_words=600)
         raise ValueError(f"unknown corpus scale {scale!r}")
 
 

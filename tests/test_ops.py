@@ -33,6 +33,69 @@ class TestDedup:
         assert (out["n_dups"] >= 1).all()
         assert out["keep_doc_id"].is_unique
 
+    def test_ngram_jaccard_full_recall_vs_brute_force(self):
+        """The prefix-filtered similarity join must find EVERY pair with
+        exact Jaccard >= threshold (full recall — it backs a value-exact
+        all-pairs SQL oracle)."""
+        import duckdb
+        from go_crawler_ray.pipelines.dedup import (_string_shingles,
+                                                    ngram_jaccard_pairs)
+
+        got = ngram_jaccard_pairs(SF, threshold=0.5)
+        con = duckdb.connect()
+        docs = con.sql(f"SELECT doc_id, text FROM "
+                       f"read_parquet('{SF}/documents.parquet')").fetchall()
+        sh = {int(d): _string_shingles(t) for d, t in docs}
+        want = []
+        ids = sorted(sh)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                u = len(sh[a] | sh[b])
+                j = len(sh[a] & sh[b]) / u if u else 1.0
+                if j >= 0.5:
+                    want.append((a, b))
+        assert list(zip(got["a"], got["b"])) == want
+
+    def test_simhash_pairs_distributed_matches_brute_force(self):
+        """Band-blocked distributed pair enumeration (no bucket cap) must
+        agree with an all-pairs Hamming scan at <=3 bits."""
+        from go_crawler_ray.pipelines.dedup import (_popcount64,
+                                                    simhash_near_pairs,
+                                                    simhash_signatures)
+
+        sigs = simhash_signatures(SF)
+        ids = sigs["doc_id"].to_numpy()
+        h = sigs["simhash"].to_numpy().view(np.uint64)
+        want = []
+        for i in range(len(ids)):
+            d = _popcount64(h[i] ^ h[i + 1:])
+            for off in np.nonzero(d <= 3)[0]:
+                want.append((int(ids[i]), int(ids[i + 1 + off]),
+                             int(d[off])))
+        want.sort()
+        got = simhash_near_pairs(SF, max_hamming=3)
+        assert list(zip(got["a"], got["b"], got["hamming"])) == want
+
+    def test_embedding_block_join_matches_single_matmul(self):
+        """Partitioned block-pair cosine join == one full matmul."""
+        import ray.data as rd
+        from go_crawler_ray.functions.compat import round_half_away
+        from go_crawler_ray.pipelines.dedup import embedding_near_pairs
+
+        got = embedding_near_pairs(SF, threshold=0.45)
+        full = rd.read_parquet(f"{SF}/embeddings.parquet").to_pandas() \
+            .sort_values("vec_id")
+        ids = full["vec_id"].to_numpy()
+        V = np.stack(full["embedding"].to_numpy()).astype(np.float64)
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        S = Vn @ Vn.T
+        ai, bi = np.nonzero(S >= 0.45)
+        keep = ids[ai] < ids[bi]
+        want = sorted(zip(ids[ai][keep], ids[bi][keep],
+                          round_half_away(S[ai, bi][keep])))
+        assert list(zip(got["a"], got["b"], got["cos"])) == \
+            [(int(a), int(b), float(c)) for a, b, c in want]
+
     def test_simhash_identical_texts_equal_sigs(self):
         from go_crawler_ray.pipelines.dedup import simhash_signatures
         import duckdb
@@ -62,6 +125,19 @@ class TestANN:
             recall_hits += len(want & got)
         recall = recall_hits / len(bf)
         assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+    def test_ivf_recall_vs_brute_force(self):
+        from go_crawler_ray.pipelines.ann import brute_force_topk, ivf_topk
+
+        bf = brute_force_topk(SF, n_queries=8, k=5)
+        ivf = ivf_topk(SF, n_queries=8, k=5, n_lists=8, n_probe=4)
+        recall_hits = 0
+        for q in bf["query_id"].unique():
+            want = set(bf[bf["query_id"] == q]["neighbor_id"])
+            got = set(ivf[ivf["query_id"] == q]["neighbor_id"])
+            recall_hits += len(want & got)
+        recall = recall_hits / len(bf)
+        assert recall >= 0.5, f"IVF recall too low: {recall}"
 
     def test_brute_force_is_exact(self):
         """Driver-side numpy reference must agree exactly."""
