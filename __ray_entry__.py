@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality": _text.quality_scores,
         "text_fingerprint": _text.fingerprint,
         "text_langid": _text.langid,                        # rows-only
+        "text_curation": _text.curate,
         # --- dedup family ---
         "dedup_exact": _dedup.exact_dedup,
         "dedup_minhash_clusters": _dedup.minhash_clusters,  # rows-only
@@ -185,6 +186,20 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": (
             "SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ',"
             " 'g'))) AS fp FROM documents ORDER BY doc_id"),
+        # composite curation: quality filter -> exact dedup (min doc_id
+        # per 3-token key) -> token count for survivors
+        "text_curation": (
+            f"WITH scored AS (SELECT doc_id, {_TOKENS} AS t FROM documents), "
+            f"filt AS (SELECT doc_id, "
+            f"array_to_string(t[1:3], ' ') AS dedup_key, "
+            f"CAST(len(t) AS BIGINT) AS n_tokens FROM scored "
+            f"WHERE len(t) >= 5 AND CAST(len(list_filter(t, "
+            f"w -> w IN {_STOP})) AS DOUBLE) / len(t) <= 0.5) "
+            f"SELECT f.doc_id, f.dedup_key, f.n_tokens, g.n_dups "
+            f"FROM filt f JOIN (SELECT dedup_key, MIN(doc_id) AS keep_id, "
+            f"COUNT(*) AS n_dups FROM filt GROUP BY dedup_key) g "
+            f"ON f.dedup_key = g.dedup_key AND f.doc_id = g.keep_id "
+            f"ORDER BY f.doc_id"),
         "dedup_exact": (
             f"SELECT array_to_string(({_TOKENS})[1:3], ' ') AS dedup_key, "
             f"MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_dups "

@@ -488,12 +488,15 @@ class Crawler:
             t_mark = now
 
         if n:
-            # size blocks so the round actually fans out: at least 2 blocks
-            # per fetch slot once the frontier is big enough, but no
-            # smaller than 256 rows per block (task overhead floor)
+            # size blocks so the round fans out AND stays memory-sane:
+            # at least 2 blocks per fetch slot (parallelism), at most
+            # ~8k rows per block (a 10 KB-content row -> ~80 MB output
+            # blocks; bigger blocks measurably stall the 4-CPU drain on
+            # object-store pressure), and never below 256 rows (task
+            # overhead floor)
             nblocks = int(np.clip(
-                min(n // 256 + 1, 2 * cfg.fetch_concurrency),
-                1, 256))
+                max(n // 8192 + 1, 2 * cfg.fetch_concurrency),
+                1, max(1, n // 256 + 1)))
             # keep batches = blocks: a batch_size below the block size makes
             # Ray Data re-slice every block (measured 3-5x slower)
             batch_rows = cfg.batch_size

@@ -98,6 +98,67 @@ def fingerprint(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def curate(sf_dir: str, min_words: int = 5,
+           max_stopword_ratio: float = 0.5,
+           key_words: int = 3) -> pd.DataFrame:
+    """Composite curation pipeline — the filter -> dedup -> tokenize
+    chain a training-data pass runs end-to-end, fused into two stages:
+
+    1. map_batches: quality signals (word count, stopword ratio), the
+       quality FILTER, the dedup key (first-``key_words`` tokens) and
+       token count, all vectorized per batch;
+    2. groupby(dedup_key): first-push-wins = keep min doc_id per key
+       (native Min/Count aggregate — one key shuffle, no per-group
+       Python).
+
+    Returns (doc_id, dedup_key, n_tokens, n_dups) for surviving docs,
+    sorted by doc_id. Fully SQL-expressible -> value-exact oracle."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+    stop = set(STOPWORDS)
+
+    def stage1(batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch["text"]
+        words = text.str.strip().str.split(_WS)
+        n_words = words.str.len().astype("int64")
+        stop_n = words.map(lambda ws: sum(1 for w in ws if w in stop))
+        keep = (n_words >= min_words) & \
+               ((stop_n / n_words) <= max_stopword_ratio)
+        kept = batch[keep]
+        kw = words[keep]
+        return pd.DataFrame({
+            "doc_id": kept["doc_id"].astype("int64"),
+            "dedup_key": kw.str[:key_words].str.join(" "),
+            "n_tokens": kw.str.len().astype("int64"),
+        })
+
+    import ray
+    from ray.data.aggregate import Count, Min
+
+    # materialize the slim filtered projection once (doc_id, key,
+    # n_tokens — no text): both consumers below reuse the blocks instead
+    # of re-reading + re-scoring the corpus
+    filtered = ds.map_batches(stage1, batch_format="pandas").materialize()
+    survivors = (filtered.groupby("dedup_key")
+                 .aggregate(Min("doc_id"), Count())
+                 .to_pandas()
+                 .rename(columns={"min(doc_id)": "doc_id",
+                                  "count()": "n_dups"}))
+    # fetch the survivors' token counts via a broadcast semi-join filter
+    # (driver traffic stays O(survivors), never the filtered corpus)
+    ids_ref = ray.put(survivors["doc_id"].to_numpy())
+
+    def keep_survivors(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = ray.get(ids_ref)
+        return batch[batch["doc_id"].isin(ids)][["doc_id", "n_tokens"]]
+
+    toks = filtered.map_batches(keep_survivors,
+                                batch_format="pandas").to_pandas()
+    out = survivors.merge(toks, on="doc_id", how="left")
+    out = out[["doc_id", "dedup_key", "n_tokens", "n_dups"]].astype(
+        {"doc_id": "int64", "n_tokens": "int64", "n_dups": "int64"})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 class LangIdStage:
     """Actor-pool language-ID: profiles compiled once per actor."""
 
