@@ -252,14 +252,25 @@ def _empty_frontier() -> pa.Table:
 class Crawler:
     """Driver for the BFS-round crawl over a corpus table."""
 
-    def __init__(self, corpus: pa.Table, config: CrawlConfig | None = None):
+    def __init__(self, corpus, config: CrawlConfig | None = None):
+        """``corpus``: an in-memory Arrow table (broadcast with a prebuilt
+        hash index) or a :class:`~..stages.fetch.CorpusSpec` pointing at a
+        hash-partitioned on-disk corpus (the 100 TB layout — workers load
+        only the partitions their URLs hash into)."""
         self.cfg = config or CrawlConfig()
-        from ..stages.fetch import build_corpus_index
+        from ..stages.fetch import CorpusSpec, build_corpus_index
 
-        hs, perm = build_corpus_index(corpus.column("doc_id").to_pylist())
-        # broadcast (table, prebuilt hash index) ONCE; workers zero-copy it
-        # (no combine_chunks: nested children can exceed the 2 GB chunk cap)
-        self.corpus_ref = ray.put((corpus, hs, perm))
+        if isinstance(corpus, CorpusSpec):
+            if self.cfg.robots:
+                raise ValueError("robots preload needs an in-memory corpus "
+                                 "table (it scans for robots.txt docs)")
+            self.corpus_ref = ray.put(corpus)
+        else:
+            hs, perm = build_corpus_index(corpus.column("doc_id").to_pylist())
+            # broadcast (table, prebuilt hash index) ONCE; workers
+            # zero-copy it (no combine_chunks: nested children can exceed
+            # the 2 GB chunk cap)
+            self.corpus_ref = ray.put((corpus, hs, perm))
         self.seen = ShardedSeenSet(self.cfg.num_seen_shards,
                                    mode=self.cfg.seen_mode,
                                    salt_k=self.cfg.salt_k)
@@ -726,10 +737,13 @@ class Crawler:
             manifest = json.load(f)
         self = cls.__new__(cls)
         self.cfg = cfg
-        from ..stages.fetch import build_corpus_index
+        from ..stages.fetch import CorpusSpec, build_corpus_index
 
-        hs, perm = build_corpus_index(corpus.column("doc_id").to_pylist())
-        self.corpus_ref = ray.put((corpus, hs, perm))
+        if isinstance(corpus, CorpusSpec):
+            self.corpus_ref = ray.put(corpus)
+        else:
+            hs, perm = build_corpus_index(corpus.column("doc_id").to_pylist())
+            self.corpus_ref = ray.put((corpus, hs, perm))
         self.seen = ShardedSeenSet(cfg.num_seen_shards, mode=cfg.seen_mode,
                                    salt_k=cfg.salt_k)
         self.robots = None

@@ -262,22 +262,76 @@ def top_orders_per_segment(sf_dir: str, k: int = 3) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# sessionization: per-key ordered state via groupby().map_groups
+# sessionization: global (user_id, ts) sort -> vectorized per-batch
+# partials -> O(batches) boundary stitch on the driver
 
 def user_sessions(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
+    """(user_id, n_sessions, n_events): a session break is a gap >
+    ``gap_minutes`` between a user's consecutive events.
+
+    Shape: ONE sort shuffle by (user_id, ts), then a map_batches that
+    computes each ordered batch's partial — per-user event counts,
+    within-batch break counts (one vectorized diff, no per-group
+    Python) — plus its first/last (user, ts). The driver only stitches
+    batch boundaries (same user across a batch edge -> one more gap
+    check), O(batches + users) work. This replaces the previous
+    groupby().map_groups with a per-user pandas constructor."""
     ds = _read(sf_dir, "events", ["user_id", "ts"])
     gap = np.timedelta64(gap_minutes * 60, "s")
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        ts = g["ts"].sort_values().to_numpy()
-        breaks = int((np.diff(ts) > gap).sum()) if len(ts) > 1 else 0
-        return pd.DataFrame({
-            "user_id": [g["user_id"].iloc[0]],
-            "n_sessions": np.array([breaks + 1], dtype="int64"),
-            "n_events": np.array([len(ts)], dtype="int64"),
-        })
+    def partials(batch: pd.DataFrame) -> pd.DataFrame:
+        u = batch["user_id"].to_numpy()
+        ts = batch["ts"].to_numpy()
+        new_user = np.empty(len(u), dtype=bool)
+        new_user[0] = True
+        new_user[1:] = u[1:] != u[:-1]
+        brk = np.zeros(len(u), dtype=bool)
+        if len(u) > 1:
+            brk[1:] = ~new_user[1:] & ((ts[1:] - ts[:-1]) > gap)
+        import uuid
 
-    out = (ds.groupby("user_id")
-           .map_groups(sessions, batch_format="pandas")
-           .to_pandas())
-    return out.sort_values("user_id").reset_index(drop=True)
+        g = pd.DataFrame({"user_id": u,
+                          "n_breaks": brk.astype("int64")})
+        agg = g.groupby("user_id", sort=True).agg(
+            n_events=("user_id", "size"), n_breaks=("n_breaks", "sum"))
+        agg = agg.reset_index()
+        # the slice's edge rows, stamped on every output row with a
+        # unique slice id: the driver re-batches arbitrarily (and the
+        # streaming executor reorders), so edges must survive concat
+        agg["bid"] = uuid.uuid4().hex
+        agg["first_user"] = u[0]
+        agg["first_ts"] = ts[0]
+        agg["last_user"] = u[-1]
+        agg["last_ts"] = ts[-1]
+        return agg
+
+    allp = (ds.sort(["user_id", "ts"])
+            .map_batches(partials, batch_format="pandas")
+            .to_pandas())
+    # combine per-user partials
+    out = allp.groupby("user_id", sort=True).agg(
+        n_events=("n_events", "sum"),
+        n_breaks=("n_breaks", "sum")).reset_index()
+    # boundary stitch over the slice edges, ordered by first edge row
+    # (slices are contiguous runs of the sorted data, so their first
+    # rows totally order them; an equal-boundary tie would mean a zero
+    # gap, which never adds a break either way)
+    edge_tbl = (allp[["bid", "first_user", "first_ts",
+                      "last_user", "last_ts"]]
+                .drop_duplicates("bid")
+                .sort_values(["first_user", "first_ts"])
+                .reset_index(drop=True))
+    extra: dict = {}
+    for i in range(len(edge_tbl) - 1):
+        pu = edge_tbl["last_user"].iloc[i]
+        pt = edge_tbl["last_ts"].iloc[i]
+        nu = edge_tbl["first_user"].iloc[i + 1]
+        nt = edge_tbl["first_ts"].iloc[i + 1]
+        if pu == nu and (nt - pt) > gap:
+            extra[pu] = extra.get(pu, 0) + 1
+    if extra:
+        out["n_breaks"] += out["user_id"].map(extra).fillna(0).astype("int64")
+    out["n_sessions"] = (out["n_breaks"] + 1).astype("int64")
+    out["n_events"] = out["n_events"].astype("int64")
+    return (out[["user_id", "n_sessions", "n_events"]]
+            .sort_values("user_id").reset_index(drop=True))

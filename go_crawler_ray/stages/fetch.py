@@ -144,6 +144,20 @@ class InMemoryCorpusBackend:
         return None if i < 0 else self.spans[i].as_py()
 
 
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class CorpusSpec:
+    """Reference to a partitioned on-disk corpus (the 100 TB layout):
+    pass this to Crawler/FetchStage instead of an in-memory table and
+    each fetch worker lazily loads only the partitions its URLs hash
+    into."""
+
+    root: str
+    num_partitions: int
+
+
 class PartitionedCorpusBackend:
     """Scale-path backend: corpus laid out as hash(url)%P parquet files;
     partitions load lazily and are memoized per actor. On a cluster, P is
@@ -226,11 +240,15 @@ class FetchStage:
         import ray
 
         obj = ray.get(corpus) if isinstance(corpus, ray.ObjectRef) else corpus
-        if isinstance(obj, tuple):      # (table, sorted_hashes, perm) broadcast
+        if isinstance(obj, CorpusSpec):  # 100 TB layout: lazy partitions
+            self.backend = PartitionedCorpusBackend(obj.root,
+                                                    obj.num_partitions)
+        elif isinstance(obj, tuple):    # (table, sorted_hashes, perm) broadcast
             table, hs, perm = obj
             self.backend = InMemoryCorpusBackend(table, index=(hs, perm))
         else:
             self.backend = InMemoryCorpusBackend(obj)
+        self.partitioned = isinstance(self.backend, PartitionedCorpusBackend)
         self.max_file_size = max_file_size
         self.retry_config = retry_config or RetryConfig(
             max_attempts=3, delay=0.0, jitter_factor=0.0)
@@ -263,10 +281,16 @@ class FetchStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch.column("url")   # stays Arrow on the hot path
-        idx = self._lookup(urls)
-        spans = self.backend.take_spans(idx)
+        if self.partitioned:
+            # lazy-partition lookup (nulls mark misses); the transient-
+            # failure simulation knob is an in-memory-backend test tool
+            spans = self.backend.lookup_spans(urls.to_pylist())
+            missing = pc.is_null(spans).to_numpy(zero_copy_only=False)
+        else:
+            idx = self._lookup(urls)
+            spans = self.backend.take_spans(idx)
+            missing = idx < 0
         sizes = spans_text_sizes(spans)
-        missing = idx < 0
         oversize = (np.zeros_like(missing) if self.max_file_size is None
                     else (sizes > self.max_file_size) & ~missing)
         skipped = missing | oversize

@@ -109,3 +109,28 @@ class TestPartitionedBackend:
         assert got == want
         # only touched partitions are memoized
         assert 0 < len(be._parts) <= 8
+
+    def test_crawl_over_partitioned_corpus_matches_in_memory(
+            self, t1_corpus, tmp_path):
+        """End-to-end: the crawl driven by a CorpusSpec (lazy partition
+        loads inside fetch workers — the 100 TB corpus layout) must
+        reproduce the in-memory crawl byte for byte."""
+        from go_crawler_ray.pipelines.crawl import Crawler, CrawlConfig
+        from go_crawler_ray.stages.fetch import (CorpusSpec,
+                                                 PartitionedCorpusBackend)
+        from go_crawler_ray.sources.corpus import seed_url
+
+        root = str(tmp_path / "pcorpus")
+        PartitionedCorpusBackend.write(t1_corpus, root, num_partitions=8)
+
+        cfg = CrawlConfig(max_count=60)
+        mem = Crawler(t1_corpus, cfg)
+        r_mem = mem.run([seed_url(0)])
+        mem.shutdown()
+
+        part = Crawler(CorpusSpec(root, 8), CrawlConfig(max_count=60))
+        r_part = part.run([seed_url(0)])
+        part.shutdown()
+
+        assert r_part.visit_order.to_pylist() == r_mem.visit_order.to_pylist()
+        assert r_part.seen == r_mem.seen
