@@ -63,7 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_curation": _text.curate,
         # --- dedup family ---
         "dedup_exact": _dedup.exact_dedup,
-        "dedup_minhash_clusters": _dedup.minhash_clusters,  # rows-only
+        "dedup_minhash_clusters": _dedup.minhash_clusters,
         "dedup_simhash": _dedup.simhash_signatures,         # rows-only
         "dedup_simhash_pairs": _dedup.simhash_near_pairs,   # rows-only
         "dedup_ngram_jaccard": _dedup.ngram_jaccard_pairs,
@@ -204,6 +204,31 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT array_to_string(({_TOKENS})[1:3], ' ') AS dedup_key, "
             f"MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_dups "
             f"FROM documents GROUP BY dedup_key ORDER BY dedup_key"),
+        # near-dup clusters == connected components of the exact
+        # J>=0.8 pair graph. NOTE this oracle is data-conditioned: the
+        # engine builds components from banding-found-then-exactly-
+        # verified pairs, so equality additionally asserts that 16x4
+        # MinHash banding has FULL recall at J>=0.8 on this corpus
+        # (verified: all 25 near pairs at sf0.01 collide in >=1 band;
+        # P(miss) at J=0.8 is (1-0.8^4)^16 ~= 2e-4 per pair)
+        "dedup_minhash_clusters": (
+            f"WITH RECURSIVE sh AS (SELECT doc_id, CASE WHEN len(t) < 3 "
+            f"THEN [array_to_string(t, ' ')] ELSE list_distinct("
+            f"list_transform(range(1, len(t) - 1), "
+            f"i -> array_to_string(t[i:i+2], ' '))) END AS s "
+            f"FROM (SELECT doc_id, {_TOKENS} AS t FROM documents)), "
+            f"prs AS (SELECT a.doc_id AS a, b.doc_id AS b "
+            f"FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+            f"WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) "
+            f"/ (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) "
+            f">= 0.8), "
+            f"edges AS (SELECT a AS u, b AS v FROM prs "
+            f"UNION ALL SELECT b AS u, a AS v FROM prs), "
+            f"reach(u, v) AS (SELECT doc_id, doc_id FROM documents "
+            f"UNION SELECT r.u, e.v FROM reach r JOIN edges e "
+            f"ON e.u = r.v) "
+            f"SELECT u AS doc_id, CAST(MIN(v) AS BIGINT) AS cluster_id "
+            f"FROM reach GROUP BY u ORDER BY doc_id"),
         # exact all-pairs shingle Jaccard — the engine's prefix-filtered
         # similarity join must reproduce this with full recall
         "dedup_ngram_jaccard": (

@@ -65,6 +65,7 @@ ORACLE_KEYS = [
     "user_sessions", "text_token_count", "text_quality", "text_fingerprint",
     "text_curation",
     "dedup_exact", "dedup_embedding_cosine", "dedup_ngram_jaccard",
+    "dedup_minhash_clusters",
     "ann_brute_force_topk",
     "multimodal_media_meta", "multimodal_resize", "multimodal_frames",
 ]
