@@ -9,9 +9,11 @@ nothing here (nor in the library) initialises or shuts down Ray.
 - ``oracle_sql()`` — DuckDB-equivalent SQL per query where SQL can
   express the computation (column names match the Ray outputs exactly).
   The budgeted BFS crawl itself is oracled by a recursive-CTE simulation
-  (pipelines/crawl_oracle.py). Still rows-only: crawl_metrics (wall
-  times), MinHash/SimHash/LSH outputs (hash-function-specific), langid
-  (heuristic), multimodal_features (byte-histogram kernel).
+  (pipelines/crawl_oracle.py); MinHash clusters by exact-Jaccard graph
+  components. Still rows-only: crawl_metrics (wall times), SimHash
+  signatures/pairs (crc-kernel-specific), LSH/IVF top-k (approximate by
+  design), langid (heuristic), multimodal_features (byte-histogram
+  kernel).
 """
 
 from __future__ import annotations
@@ -61,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_fingerprint": _text.fingerprint,
         "text_langid": _text.langid,                        # rows-only
         "text_curation": _text.curate,
+        "text_winnow_fp": _text.winnow_fingerprints,        # rows-only
         # --- dedup family ---
         "dedup_exact": _dedup.exact_dedup,
         "dedup_minhash_clusters": _dedup.minhash_clusters,

@@ -159,6 +159,62 @@ def curate(sf_dir: str, min_words: int = 5,
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def winnow_fingerprints(sf_dir: str, k: int = 8, w: int = 6) -> pd.DataFrame:
+    """(doc_id, n_grams, n_fp, fp_digest) — winnowing document
+    fingerprints (Schleimer/Wilkerson/Aiken 2003, "Winnowing: Local
+    Algorithms for Document Fingerprinting" — public): character
+    ``k``-gram ROLLING hashes, then the minimum hash of every window of
+    ``w`` consecutive grams; the deduplicated minima are the document's
+    fingerprint set (robust to local edits, the classic plagiarism/
+    near-dup sketch). Emitted per doc: gram count, fingerprint-set size,
+    and an order-independent xor digest of the set (the values are
+    rolling-hash-kernel-specific -> rows-only check).
+
+    Vectorized per doc: the Rabin-Karp recurrence runs as a numpy
+    cumulative form (prefix products over the fixed base), window minima
+    via a strided sliding view."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+    B = np.uint64(1_000_003)          # rolling base (wraps mod 2^64)
+
+    def fp(batch: pd.DataFrame) -> pd.DataFrame:
+        ids, n_grams, n_fp, digest = [], [], [], []
+        for d, t in zip(batch["doc_id"], batch["text"]):
+            b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8) \
+                .astype(np.uint64)
+            n = len(b)
+            if n < k:
+                grams = np.zeros(1, dtype=np.uint64) if n == 0 else \
+                    np.array([(b * (B ** np.arange(n, dtype=np.uint64)
+                                    [::-1])).sum()], dtype=np.uint64)
+            else:
+                # k-gram hashes h[j] = sum b[j:j+k] * B^(k-1-off): a
+                # correlation-style pass, one vectorized multiply-add
+                # per offset (k is small and fixed)
+                powers = B ** np.arange(k, dtype=np.uint64)[::-1]
+                grams = np.zeros(n - k + 1, dtype=np.uint64)
+                for off in range(k):
+                    grams += b[off: off + n - k + 1] * powers[off]
+            if len(grams) <= w:
+                mins = np.array([grams.min()], dtype=np.uint64)
+            else:
+                win = np.lib.stride_tricks.sliding_window_view(grams, w)
+                mins = win.min(axis=1)
+            sel = np.unique(mins)
+            ids.append(int(d))
+            n_grams.append(len(grams))
+            n_fp.append(len(sel))
+            digest.append(int(np.bitwise_xor.reduce(sel)))
+        return pd.DataFrame({
+            "doc_id": np.array(ids, dtype="int64"),
+            "n_grams": np.array(n_grams, dtype="int64"),
+            "n_fp": np.array(n_fp, dtype="int64"),
+            "fp_digest": np.array(digest, dtype="uint64").view("int64"),
+        })
+
+    out = ds.map_batches(fp, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 class LangIdStage:
     """Actor-pool language-ID: profiles compiled once per actor."""
 

@@ -188,6 +188,46 @@ class TestMultimodal:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestWinnowing:
+    def test_identical_texts_identical_fingerprints(self):
+        import duckdb
+        from go_crawler_ray.pipelines.textproc import winnow_fingerprints
+
+        got = winnow_fingerprints(SF_BIG)
+        con = duckdb.connect()
+        dup_groups = con.sql(
+            f"SELECT list(doc_id) FROM "
+            f"read_parquet('{SF_BIG}/documents.parquet') "
+            "GROUP BY text HAVING COUNT(*) > 1").fetchall()
+        assert dup_groups
+        dg = got.set_index("doc_id")["fp_digest"]
+        for (ids,) in dup_groups:
+            assert len({dg[i] for i in ids}) == 1
+
+    def test_local_edit_keeps_fingerprint_sizes_close(self):
+        """Winnowing's point: a local edit changes only nearby windows,
+        so fingerprint-set sizes stay close."""
+        import tempfile
+
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from go_crawler_ray.pipelines.textproc import winnow_fingerprints
+
+        base = ("the quick brown fox jumps over the lazy dog and then "
+                "runs far away into the deep dark forest tonight") * 3
+        edited = base[:60] + "X" + base[60:]
+        df = pd.DataFrame({"doc_id": [1, 2], "text": [base, edited]})
+        with tempfile.TemporaryDirectory() as d:
+            pq.write_table(pa.Table.from_pandas(df), f"{d}/documents.parquet")
+            out = winnow_fingerprints(d)
+        assert out["n_fp"].min() > 5
+        a, b = out["n_fp"].tolist()
+        assert abs(a - b) <= max(a, b) * 0.2
+        assert out["fp_digest"].nunique() == 2
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestSessionize:
     def test_single_user_gap_semantics(self):
         import pandas as pd
