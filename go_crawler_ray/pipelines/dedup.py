@@ -3,8 +3,9 @@
 The large-scale training-data dedup toolkit, Ray-Data-first:
 
 - **exact**: content-key dedup = vectorized key extraction in
-  map_batches, then hash-partitioned ``groupby(key).map_groups(first)``
-  (the canonical exact-dedup shape; one shuffle on the key).
+  map_batches, then a native ``groupby(key).aggregate(Min, Count)``
+  (the canonical exact-dedup shape: one key shuffle with per-block
+  partial combine, no per-group Python).
 - **MinHash + LSH** (Broder 1997, "On the resemblance and containment
   of documents"; banding per Leskovec/Rajaraman/Ullman, Mining of
   Massive Datasets ch.3): per-batch shingle->minhash signatures (numpy),

@@ -1,10 +1,13 @@
 """Text-analysis operators over the ``documents`` table.
 
 Large-scale training-data pipeline stages: token counting, quality
-scoring, document fingerprinting, language-ID — all vectorized
-``map_batches`` transforms (pandas string kernels / numpy), with DuckDB
-oracles where SQL can express the same function (token count, quality,
-fingerprint) and deterministic rows-only outputs otherwise (langid).
+scoring, document fingerprinting (md5 of normalized text AND winnowing
+rolling-hash sketches), language-ID, and a composite curation pass
+(filter -> exact dedup -> tokenize) — all vectorized ``map_batches``
+transforms (pandas string kernels / numpy), with DuckDB oracles where
+SQL can express the same function (token count, quality, fingerprint,
+curation) and deterministic rows-only outputs otherwise (langid,
+winnowing).
 
 Tokenization contract shared with the SQL oracles: tokens =
 ``\\s+``-split of the trimmed text.
