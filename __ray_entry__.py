@@ -10,10 +10,12 @@ nothing here (nor in the library) initialises or shuts down Ray.
   express the computation (column names match the Ray outputs exactly).
   The budgeted BFS crawl itself is oracled by a recursive-CTE simulation
   (pipelines/crawl_oracle.py); MinHash clusters by exact-Jaccard graph
-  components. Still rows-only: crawl_metrics (wall times), SimHash
-  signatures/pairs (crc-kernel-specific), LSH/IVF top-k (approximate by
-  design), langid (heuristic), multimodal_features (byte-histogram
-  kernel).
+  components; winnowing by an independent SQL reimplementation of the
+  rolling-hash kernel; the SimHash Hamming join by a brute-force
+  bit_count(xor) self-join over a signatures sidecar. Still rows-only:
+  crawl_metrics (wall times), SimHash signatures (crc-kernel-specific),
+  LSH/IVF top-k (approximate by design), langid (heuristic),
+  multimodal_features (byte-histogram kernel).
 """
 
 from __future__ import annotations
@@ -63,12 +65,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_fingerprint": _text.fingerprint,
         "text_langid": _text.langid,                        # rows-only
         "text_curation": _text.curate,
-        "text_winnow_fp": _text.winnow_fingerprints,        # rows-only
+        "text_winnow_fp": _text.winnow_fingerprints,
         # --- dedup family ---
         "dedup_exact": _dedup.exact_dedup,
         "dedup_minhash_clusters": _dedup.minhash_clusters,
         "dedup_simhash": _dedup.simhash_signatures,         # rows-only
-        "dedup_simhash_pairs": _dedup.simhash_near_pairs,   # rows-only
+        "dedup_simhash_pairs": _dedup.simhash_near_pairs,
         "dedup_ngram_jaccard": _dedup.ngram_jaccard_pairs,
         "dedup_embedding_cosine": _dedup.embedding_near_pairs,
         # --- similarity search ---
@@ -85,6 +87,82 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 _TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
 _STOP = "('the','a','an','and','or','of','to','in','is','on')"
+
+
+def _winnow_sql(k: int = 8, w: int = 6, base: int = 1_000_003) -> str:
+    """Independent SQL reimplementation of the winnowing kernel
+    (pipelines/textproc.py:winnow_fingerprints): byte-level Rabin-Karp
+    k-gram hashes mod 2^64 (HUGEINT arithmetic; documents are ASCII so
+    ``unicode(substring(...))`` IS the byte), window-of-w minima,
+    distinct, xor digest in two's-complement int64. Validated
+    value-exact against the numpy kernel."""
+    m = 1 << 64
+    pw = [pow(base, i, m) for i in range(k)]
+    pl = "[" + ",".join(f"{x}::HUGEINT" for x in pw) + "]"
+    terms = " + ".join(f"b[j+{o+1}] * {pw[k-1-o]}::HUGEINT"
+                       for o in range(k))
+    return f"""
+WITH docs AS (SELECT doc_id, text, length(text) AS n FROM documents),
+byt AS (SELECT doc_id, n, list_transform(range(1, n + 1),
+    i -> unicode(substring(text, i, 1))::HUGEINT) AS b FROM docs),
+grams AS (
+  SELECT doc_id,
+    CASE WHEN n = 0 THEN [0::HUGEINT]
+         WHEN n < {k} THEN [ list_sum(list_transform(range(1, n + 1),
+             i -> b[i] * {pl}[n - i + 1])) % 18446744073709551616::HUGEINT ]
+         ELSE list_transform(range(0, n - {k - 1}),
+             j -> ({terms}) % 18446744073709551616::HUGEINT)
+    END AS g
+  FROM byt),
+mins AS (
+  SELECT doc_id, len(g) AS n_grams,
+    CASE WHEN len(g) <= {w} THEN [list_min(g)]
+         ELSE list_transform(range(0, len(g) - {w - 1}),
+             j -> list_min(g[j+1 : j+{w}]))
+    END AS m
+  FROM grams),
+sel AS (SELECT doc_id, n_grams, list_distinct(m) AS s FROM mins)
+SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+  CAST(len(s) AS BIGINT) AS n_fp,
+  list_reduce(list_transform(s,
+      v -> CASE WHEN v >= 9223372036854775808::HUGEINT
+           THEN CAST(v - 18446744073709551616::HUGEINT AS BIGINT)
+           ELSE CAST(v AS BIGINT) END),
+      (x, y) -> xor(x, y)) AS fp_digest
+FROM sel ORDER BY doc_id"""
+
+
+def _simhash_pairs_sql(sf_dir: str, max_hamming: int = 3) -> str:
+    """Brute-force Hamming self-join over the signatures sidecar the
+    pair query writes (pipelines/dedup.py:simhash_sidecar_path). The
+    engine's banded join must reproduce this with full recall (4x16
+    band pigeonhole at <= 3 bits); the signature kernel itself stays
+    pinned by the brute-force parity test."""
+    import glob
+    import os
+
+    from go_crawler_ray.pipelines.dedup import (SimHashStage,
+                                                simhash_sidecar_path)
+
+    side = simhash_sidecar_path(sf_dir)
+    if not glob.glob(f"{side}/*.parquet"):
+        # the pair query normally writes the sidecar worker-side; if the
+        # oracle is evaluated first, materialize it here driver-side with
+        # the same deterministic kernel (no Ray involved)
+        import pyarrow.parquet as _pq
+
+        docs = _pq.read_table(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"]).to_pandas()
+        os.makedirs(side, exist_ok=True)
+        sigs = SimHashStage()(docs)
+        sigs.to_parquet(f"{side}/sigs.parquet", index=False)
+    return (
+        f"SELECT a.doc_id AS a, b.doc_id AS b, "
+        f"CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming "
+        f"FROM read_parquet('{side}/*.parquet') a "
+        f"JOIN read_parquet('{side}/*.parquet') b ON a.doc_id < b.doc_id "
+        f"WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming} "
+        f"ORDER BY a, b")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -189,6 +267,10 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": (
             "SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ',"
             " 'g'))) AS fp FROM documents ORDER BY doc_id"),
+        "text_winnow_fp": _winnow_sql(),
+        # the driver compares at sf0.01; the pair query writes its
+        # signature sidecar for that sf_dir before returning
+        "dedup_simhash_pairs": _simhash_pairs_sql("/root/testdata/sf0.01"),
         # composite curation: quality filter -> exact dedup (min doc_id
         # per 3-token key) -> token count for survivors
         "text_curation": (

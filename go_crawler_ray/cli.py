@@ -174,7 +174,9 @@ def main(argv: list[str] | None = None) -> int:
     summary = {
         "urls_visited": result.visit_order.num_rows,
         "pages_queued": result.pages_queued,
-        "seen": len(result.seen),
+        # seen size comes from the shard actors — the CLI never pulls the
+        # full seen set onto the driver (snapshot_seen stays off)
+        "seen": crawler.seen.total_size(),
         "rounds": result.rounds,
         "elapsed_sec": result.metrics.get("elapsed_sec"),
         "urls_per_sec": result.metrics.get("urls_per_sec"),

@@ -51,8 +51,12 @@ _CANONICAL_RE = re.compile(
 def _is_fast_canonical(ref: str) -> bool:
     if not _CANONICAL_RE.match(ref):
         return False
-    return not ("/./" in ref or "/../" in ref
-                or ref.endswith("/.") or ref.endswith("/.."))
+    # Dot-segment checks must run on the PATH only: 'http://h/a/..?x=1'
+    # ends in '?x=1', not '/..', yet needs normalization to 'http://h/?x=1'
+    # (Go's ResolveReference removes dot segments before the query).
+    path = ref.split("?", 1)[0]
+    return not ("/./" in path or "/../" in path
+                or path.endswith("/.") or path.endswith("/.."))
 
 
 def md5_hex(s: str) -> str:
@@ -237,11 +241,14 @@ def canonicalize_batch(refs, bases, strict_rfc3986: bool = True,
     # the exact urljoin fallback for bare-relative refs
     b_has_path = bases.str.count("/") >= 3
 
+    # dotty routes to the exact fallback; run dot-segment checks on the
+    # PATH portion so '/a/.?x=1' (single-dot before a query) is caught.
+    nfpath = nofrag.str.split("?", n=1).str[0]
     dotty = (nofrag.str.contains("..", regex=False)
-             | nofrag.str.contains("/./", regex=False)
-             | nofrag.str.startswith("./")
-             | nofrag.str.endswith("/.")
-             | (nofrag == "."))
+             | nfpath.str.contains("/./", regex=False)
+             | nfpath.str.startswith("./")
+             | nfpath.str.endswith("/.")
+             | (nfpath == "."))
     has_colon = nofrag.str.contains(":", regex=False)
 
     is_abs = nofrag.str.startswith("https://") | nofrag.str.startswith("http://")

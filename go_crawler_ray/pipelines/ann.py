@@ -18,14 +18,22 @@ import ray
 import ray.data as rd
 
 from ..functions.compat import round_half_away
+from ..functions.pool import auto_pool
 
 
 def _load_queries(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
-    full = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                           columns=["vec_id", "embedding"]).to_pandas()
-    full = full.sort_values("vec_id").head(n_queries)
-    q_ids = full["vec_id"].to_numpy()
-    Q = np.stack(full["embedding"].to_numpy()).astype(np.float64)
+    """First ``n_queries`` vectors by vec_id, via a pushed-down parquet
+    row filter — never materializes the full embeddings table anywhere
+    (vec_id is 0-based contiguous; the filter prunes at the row-group
+    scan, so this stays O(n_queries) at any corpus size)."""
+    import pyarrow.compute as pc
+
+    q = (rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"],
+                         filter=pc.field("vec_id") < n_queries)
+         .to_pandas().sort_values("vec_id"))
+    q_ids = q["vec_id"].to_numpy()
+    Q = np.stack(q["embedding"].to_numpy()).astype(np.float64)
     return q_ids, Q / np.linalg.norm(Q, axis=1, keepdims=True)
 
 
@@ -64,7 +72,7 @@ def brute_force_topk(sf_dir: str, n_queries: int = 8, k: int = 5) -> pd.DataFram
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
     cand = ds.map_batches(PartialTopK, batch_format="pandas",
-                          concurrency=2, batch_size=1024).to_pandas()
+                          concurrency=auto_pool(), batch_size=1024).to_pandas()
     cand = cand[cand["query_id"] != cand["neighbor_id"]]
     cand = cand.sort_values(["query_id", "cos", "neighbor_id"],
                             ascending=[True, False, True])
@@ -138,7 +146,7 @@ def ivf_topk(sf_dir: str, n_queries: int = 8, k: int = 5,
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
     cand = ds.map_batches(IvfProbe, batch_format="pandas",
-                          concurrency=2, batch_size=1024).to_pandas()
+                          concurrency=auto_pool(), batch_size=1024).to_pandas()
     cand = cand[cand["query_id"] != cand["neighbor_id"]]
     cand = cand.sort_values(["query_id", "cos", "neighbor_id"],
                             ascending=[True, False, True])
@@ -192,7 +200,7 @@ def lsh_topk(sf_dir: str, n_queries: int = 8, k: int = 5,
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
     cand = ds.map_batches(Probe, batch_format="pandas",
-                          concurrency=2, batch_size=1024).to_pandas()
+                          concurrency=auto_pool(), batch_size=1024).to_pandas()
     cand = cand[cand["query_id"] != cand["neighbor_id"]]
     cand = cand.sort_values(["query_id", "cos", "neighbor_id"],
                             ascending=[True, False, True])

@@ -105,10 +105,10 @@ class CrawlConfig:
     localize: bool = True                # run the T1 transform in save
     enrich_docs: bool = False            # + fingerprint/n_tokens per doc
     write_docs: bool = True
-    # materialize the full seen set into CrawlResult.seen at the end
-    # (conformance/tests). Off for production/bench runs: snapshotting
-    # 10^10 URLs onto the driver is exactly what the sharded design avoids
-    snapshot_seen: bool = True
+    # materialize the full seen set into CrawlResult.seen at the end.
+    # Default OFF: snapshotting 10^10 URLs onto the driver is exactly what
+    # the sharded design avoids. Conformance/tests opt in explicitly.
+    snapshot_seen: bool = False
     # [NEW] priority frontier: callable (accepted-candidates pa.Table) ->
     # int32 ndarray; lower = fetched earlier. None = 0 for all (pure FIFO,
     # the reference-conformant order)
@@ -761,15 +761,23 @@ class Crawler:
         extra_parts = []
         for r in rounds:
             vp = os.path.join(checkpoint_dir, r, "visit_delta.parquet")
-            if os.path.exists(vp):
-                t = pq.read_table(vp)
-                if t.num_rows:
-                    visit_parts.append(t)
             ep = os.path.join(checkpoint_dir, r, "seen_extra_delta.parquet")
-            if os.path.exists(ep):
-                t = pq.read_table(ep)
-                if t.num_rows:
-                    extra_parts.append(t)
+            # a round dir with manifest.json but no delta files is a
+            # corrupt or pre-delta-format checkpoint — resuming past it
+            # would silently drop the visit log / seen set and re-enqueue
+            # already-visited URLs, so refuse instead of skipping
+            missing = [p for p in (vp, ep) if not os.path.exists(p)]
+            if missing:
+                raise FileNotFoundError(
+                    f"checkpoint round {r} has manifest.json but is missing "
+                    f"{[os.path.basename(m) for m in missing]} — corrupt or "
+                    "incompatible (pre-delta) checkpoint; cannot resume")
+            t = pq.read_table(vp)
+            if t.num_rows:
+                visit_parts.append(t)
+            t = pq.read_table(ep)
+            if t.num_rows:
+                extra_parts.append(t)
         self._visit_parts = visit_parts
         self._visit_new = []
         self._seen_extra_new = []

@@ -111,7 +111,10 @@ def _crawl(sf_dir: str):
     hit = _CRAWL_CACHE.get(key)
     if hit is None:
         corpus = pq.read_table(ensure_corpus(scale))
-        crawler = Crawler(corpus, CrawlConfig(max_count=CRAWL_BUDGET))
+        # snapshot_seen: the crawl_seen_set conformance query materializes
+        # the seen set against the recursive-CTE oracle — explicit opt-in
+        crawler = Crawler(corpus, CrawlConfig(max_count=CRAWL_BUDGET,
+                                              snapshot_seen=True))
         result = crawler.run([seed_url(0)])
         docs = crawler.docs_table()
         crawler.shutdown()

@@ -45,6 +45,7 @@ import ray
 import ray.data as rd
 
 from ..functions.compat import round_half_away
+from ..functions.pool import auto_pool
 
 _WS = re.compile(r"\s+")
 
@@ -152,8 +153,12 @@ class MinHashStage:
         })
 
 
-def _candidate_pairs(ds: rd.Dataset) -> set[tuple[int, int]]:
-    """groupby band bucket -> all pairs within a bucket."""
+def _candidate_pairs_ds(ds: rd.Dataset) -> rd.Dataset:
+    """Distinct candidate pairs as a DATASET — groupby band bucket ->
+    all pairs within a bucket -> distinct-pair groupby. The pair set
+    never lands on the driver (it used to be a driver ``set``; on a
+    skewed corpus one hot band bucket would have made that the
+    scale-killer)."""
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = np.sort(g["doc_id"].unique())
@@ -163,35 +168,23 @@ def _candidate_pairs(ds: rd.Dataset) -> set[tuple[int, int]]:
         a, b = np.triu_indices(len(ids), k=1)
         return pd.DataFrame({"a": ids[a], "b": ids[b]})
 
-    got = (ds.groupby(["band_id", "band_hash"])
-           .map_groups(pairs, batch_format="pandas").to_pandas())
-    return set(zip(got["a"], got["b"]))
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.iloc[:1][["a", "b"]]
 
-
-class _UnionFind:
-    def __init__(self):
-        self.parent: dict[int, int] = {}
-
-    def find(self, x: int) -> int:
-        p = self.parent.setdefault(x, x)
-        while p != x:
-            self.parent[x] = p = self.parent.setdefault(p, p)
-            x, p = p, self.parent[p]
-        return x
-
-    def union(self, a: int, b: int) -> None:
-        ra, rb = self.find(a), self.find(b)
-        if ra != rb:
-            self.parent[max(ra, rb)] = min(ra, rb)
+    return (ds.groupby(["band_id", "band_hash"])
+            .map_groups(pairs, batch_format="pandas")
+            .groupby(["a", "b"])         # a pair may collide in >1 band
+            .map_groups(first, batch_format="pandas"))
 
 
 def _collect_candidate_shingles(sf_dir: str, doc_ids,
                                 shingle_k: int = 3,
-                                string_shingles: bool = False) -> dict:
+                                string_shingles: bool = False) -> list:
     """Distributed semi-join: broadcast the candidate-id set (ray.put
-    once), filter + shingle inside map_batches, and return only the
-    candidates' shingle sets to the driver (a set LSH keeps tiny).
-    The full corpus is never scanned on the driver."""
+    once), filter + shingle inside map_batches. Returns the OBJECT-STORE
+    block refs of the (doc_id, shingles) table — the shingle sets never
+    land on the driver; verify actors assemble their lookup dict from
+    the shared blocks."""
     need_ref = ray.put(np.array(sorted(doc_ids), dtype=np.int64))
 
     class ShingleCandidates:
@@ -208,26 +201,26 @@ def _collect_candidate_shingles(sf_dir: str, doc_ids,
                 rows.append((int(d), sorted(sh)))
             return pd.DataFrame(rows, columns=["doc_id", "shingles"])
 
-    got = (_read_docs(sf_dir, ["doc_id", "text"])
+    mat = (_read_docs(sf_dir, ["doc_id", "text"])
            .map_batches(ShingleCandidates, batch_format="pandas",
-                        concurrency=2)
-           .to_pandas())
-    return {int(d): set(s) for d, s in zip(got["doc_id"], got["shingles"])}
+                        concurrency=auto_pool())
+           .materialize())
+    return mat.to_arrow_refs()
 
 
-def _verify_pairs_distributed(pairs: list[tuple[int, int]],
-                              shingles: dict, threshold: float) -> pd.DataFrame:
+def _verify_pairs_ds(pairs_ds: rd.Dataset, shingle_refs: list,
+                     threshold: float) -> rd.Dataset:
     """Exact-Jaccard verification as a map_batches stage over the pair
-    list, with the (candidate-only) shingle map broadcast once."""
-    if not pairs:
-        return pd.DataFrame({"a": pd.Series(dtype="int64"),
-                             "b": pd.Series(dtype="int64"),
-                             "jaccard": pd.Series(dtype="float64")})
-    sh_ref = ray.put(shingles)
+    dataset; each actor builds its shingle lookup once from the shared
+    object-store blocks (zero driver residency)."""
 
     class VerifyJaccard:
         def __init__(self):
-            self.sh = ray.get(sh_ref)
+            self.sh: dict = {}
+            for tbl in ray.get(list(shingle_refs)):
+                for d, s in zip(tbl.column("doc_id").to_pylist(),
+                                tbl.column("shingles").to_pylist()):
+                    self.sh[int(d)] = set(s)
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
             out_a, out_b, out_j = [], [], []
@@ -244,10 +237,58 @@ def _verify_pairs_distributed(pairs: list[tuple[int, int]],
                 "jaccard": round_half_away(np.array(out_j, dtype="float64")),
             })
 
-    ds = rd.from_pandas(pd.DataFrame(pairs, columns=["a", "b"]))
-    out = ds.map_batches(VerifyJaccard, batch_format="pandas",
-                         concurrency=2).to_pandas()
-    return out.sort_values(["a", "b"]).reset_index(drop=True)
+    return pairs_ds.map_batches(VerifyJaccard, batch_format="pandas",
+                                concurrency=auto_pool())
+
+
+def _min_label_components(pairs_ds: rd.Dataset,
+                          max_rounds: int = 64) -> pd.DataFrame:
+    """Distributed connected components over an edge dataset via
+    Hash-to-Min (Rastogi et al. 2012, "Finding Connected Components in
+    Map-Reduce in Logarithmic Rounds" — public). Returns (node, label)
+    for every node that appears in an edge; label = component min.
+
+    State is a (node, member) multiset: C(v) starts as N(v) ∪ {v}. Each
+    round, per node, m = min(C(v)); emit (m, c) and (c, m) for all c ∈
+    C(v); new C(v) = union of received. Labels min(C(v)) are
+    element-wise non-increasing, and the state reaches a fixpoint in
+    O(log d) rounds, so the (row-count, label-sum) pair is a sound
+    convergence check. Every round is ONE groupby shuffle over the
+    LSH-bounded edge-adjacency rows — nothing touches the driver but
+    the two scalar checksums and the final label table."""
+    from ray.data.aggregate import Min
+
+    def init_state(batch: pd.DataFrame) -> pd.DataFrame:
+        a = batch["a"].to_numpy()
+        b = batch["b"].to_numpy()
+        return pd.DataFrame({
+            "node": np.concatenate([a, b, a, b]).astype("int64"),
+            "member": np.concatenate([b, a, a, b]).astype("int64"),
+        })
+
+    def htm_round(g: pd.DataFrame) -> pd.DataFrame:
+        C = np.unique(g["member"].to_numpy())
+        m = C[0]
+        return pd.DataFrame({
+            "node": np.concatenate([np.full(len(C), m, dtype="int64"), C]),
+            "member": np.concatenate([C, np.full(len(C), m, dtype="int64")]),
+        }).drop_duplicates()
+
+    state = pairs_ds.map_batches(init_state, batch_format="pandas")
+    prev = None
+    lab = None
+    for _ in range(max_rounds):
+        state = (state.groupby("node")
+                 .map_groups(htm_round, batch_format="pandas")
+                 .materialize())
+        lab = state.groupby("node").aggregate(Min("member")).materialize()
+        chk = (state.count(), lab.sum("min(member)"))
+        if chk == prev:
+            break
+        prev = chk
+    out = lab.to_pandas().rename(columns={"min(member)": "label"})
+    out["label"] = out["label"].astype("int64")
+    return out
 
 
 def minhash_clusters(sf_dir: str, threshold: float = 0.8,
@@ -255,31 +296,48 @@ def minhash_clusters(sf_dir: str, threshold: float = 0.8,
     """(doc_id, cluster_id): near-dup clusters; cluster_id = min doc_id of
     the component. Docs with no near-dup are their own cluster.
 
-    All O(corpus) work is distributed: signatures + banding
-    (map_batches), bucket pairs (groupby), candidate shingling (semi-join
-    map_batches), exact-Jaccard verify (map_batches over pairs). Only
-    union-find over the verified pairs — O(near-dup pairs) — runs on the
-    driver (swap for min-label-propagation rounds at 10^10 docs)."""
+    Fully distributed: signatures + banding (map_batches), bucket pairs +
+    distinct (groupby — never a driver set), candidate shingling
+    (semi-join map_batches, blocks stay in the object store),
+    exact-Jaccard verify (map_batches over the pair dataset), connected
+    components (Hash-to-Min groupby rounds), final cluster assignment
+    (broadcast label map over a map_batches pass). The only values the
+    driver ever holds are the candidate doc-id ints and the final label
+    table — both O(LSH candidates), not O(corpus) or O(pairs)."""
     ds = _read_docs(sf_dir, ["doc_id", "text"])
     band_ds = ds.map_batches(MinHashStage, batch_format="pandas",
-                             concurrency=2,
+                             concurrency=auto_pool(),
                              fn_constructor_kwargs={"num_perms": num_perms,
                                                     "bands": bands})
-    cands = _candidate_pairs(band_ds)
+    pairs_ds = _candidate_pairs_ds(band_ds).materialize()
 
-    uf = _UnionFind()
-    if cands:
-        need = {i for p in cands for i in p}
-        sh = _collect_candidate_shingles(sf_dir, need)
-        verified = _verify_pairs_distributed(sorted(cands), sh, threshold)
-        for a, b_ in zip(verified["a"], verified["b"]):
-            uf.union(int(a), int(b_))
+    labels: dict[int, int] = {}
+    if pairs_ds.count():
+        need = set()
+        for tbl in ray.get(pairs_ds.to_arrow_refs()):
+            need.update(tbl.column("a").to_pylist())
+            need.update(tbl.column("b").to_pylist())
+        sh_refs = _collect_candidate_shingles(sf_dir, need)
+        verified = _verify_pairs_ds(pairs_ds, sh_refs, threshold).materialize()
+        if verified.count():
+            lab = _min_label_components(verified)
+            labels = dict(zip(lab["node"].astype(int), lab["label"].astype(int)))
 
-    all_ids = _read_docs(sf_dir, ["doc_id"]).to_pandas()["doc_id"]
-    cluster = np.array([uf.find(int(d)) if int(d) in uf.parent else int(d)
-                        for d in all_ids], dtype="int64")
-    out = pd.DataFrame({"doc_id": all_ids.astype("int64"),
-                        "cluster_id": cluster})
+    lab_ref = ray.put(labels)
+
+    class AssignCluster:
+        def __init__(self):
+            self.lab = ray.get(lab_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            ids = batch["doc_id"].astype("int64")
+            cl = ids.map(self.lab).fillna(ids).astype("int64")
+            return pd.DataFrame({"doc_id": ids, "cluster_id": cl})
+
+    out = (_read_docs(sf_dir, ["doc_id"])
+           .map_batches(AssignCluster, batch_format="pandas",
+                        concurrency=auto_pool())
+           .to_pandas())
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -306,7 +364,7 @@ class SimHashStage:
 def simhash_signatures(sf_dir: str) -> pd.DataFrame:
     ds = _read_docs(sf_dir, ["doc_id", "text"])
     out = ds.map_batches(SimHashStage, batch_format="pandas",
-                         concurrency=2).to_pandas()
+                         concurrency=auto_pool()).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -324,7 +382,20 @@ def _popcount64(x: np.ndarray) -> np.ndarray:
     return out
 
 
-def simhash_near_pairs(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
+def simhash_sidecar_path(sf_dir: str) -> str:
+    """Signatures sidecar dir for the Hamming-join oracle: the pair QUERY
+    gets a value-exact DuckDB check (brute-force ``bit_count(xor)`` join
+    over these signatures — full recall is guaranteed by the 4x16 band
+    pigeonhole), while the crc signature kernel itself stays pinned by
+    the brute-force parity test."""
+    import os
+
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return f"/tmp/graft_sidecar/simhash_sigs_{base}"
+
+
+def simhash_near_pairs(sf_dir: str, max_hamming: int = 3,
+                       write_sidecar: bool = True) -> pd.DataFrame:
     """(a, b, hamming) pairs within ``max_hamming`` bits, via 4x16-bit
     band blocking (Manku et al. 2007: a pair within 3 bits must agree on
     >=1 band).
@@ -332,7 +403,9 @@ def simhash_near_pairs(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
     Fully distributed: band explode (map_batches) -> bucket groupby ->
     per-bucket pair enumeration with CHUNKED block scans (no bucket-size
     cap — the documented recall guarantee holds even for hot buckets) ->
-    distinct-pair groupby. The driver receives only the final pairs."""
+    distinct-pair groupby. The driver receives only the final pairs.
+    ``write_sidecar`` persists the signatures (worker-side parquet) so
+    the oracle can replay the join as a brute-force Hamming self-join."""
 
     def explode_bands(batch: pd.DataFrame) -> pd.DataFrame:
         h = batch["simhash"].to_numpy().view(np.uint64)
@@ -382,7 +455,16 @@ def simhash_near_pairs(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
 
     sig_ds = (_read_docs(sf_dir, ["doc_id", "text"])
               .map_batches(SimHashStage, batch_format="pandas",
-                           concurrency=2))
+                           concurrency=auto_pool()))
+    if write_sidecar:
+        import os
+        import shutil
+
+        side = simhash_sidecar_path(sf_dir)
+        shutil.rmtree(side, ignore_errors=True)   # drop stale parts
+        os.makedirs(side, exist_ok=True)
+        sig_ds = sig_ds.materialize()
+        sig_ds.write_parquet(side)
     pairs = (sig_ds.map_batches(explode_bands, batch_format="pandas")
              .groupby(["band", "key"])
              .map_groups(bucket_pairs, batch_format="pandas")
@@ -435,55 +517,140 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5,
         return pd.DataFrame({"a": ids[a].astype("int64"),
                              "b": ids[b].astype("int64")})
 
-    cand_df = (_read_docs(sf_dir, ["doc_id", "text"])
-               .map_batches(prefix_rows, batch_format="pandas")
-               .groupby("shingle")
-               .map_groups(bucket_pairs, batch_format="pandas")
-               .to_pandas())
-    cands = sorted(set(zip(cand_df["a"], cand_df["b"])))
-    if not cands:
-        return pd.DataFrame({"a": pd.Series(dtype="int64"),
-                             "b": pd.Series(dtype="int64"),
-                             "jaccard": pd.Series(dtype="float64")})
-    need = {i for p in cands for i in p}
-    sh = _collect_candidate_shingles(sf_dir, need, shingle_k,
-                                     string_shingles=True)
-    return _verify_pairs_distributed(cands, sh, threshold)
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.iloc[:1][["a", "b"]]
+
+    pairs_ds = (_read_docs(sf_dir, ["doc_id", "text"])
+                .map_batches(prefix_rows, batch_format="pandas")
+                .groupby("shingle")
+                .map_groups(bucket_pairs, batch_format="pandas")
+                .groupby(["a", "b"])      # distinct-pair groupby, no driver set
+                .map_groups(first, batch_format="pandas")
+                .materialize())
+    empty = pd.DataFrame({"a": pd.Series(dtype="int64"),
+                          "b": pd.Series(dtype="int64"),
+                          "jaccard": pd.Series(dtype="float64")})
+    if not pairs_ds.count():
+        return empty
+    need = set()
+    for tbl in ray.get(pairs_ds.to_arrow_refs()):
+        need.update(tbl.column("a").to_pylist())
+        need.update(tbl.column("b").to_pylist())
+    sh_refs = _collect_candidate_shingles(sf_dir, need, shingle_k,
+                                          string_shingles=True)
+    out = _verify_pairs_ds(pairs_ds, sh_refs, threshold).to_pandas()
+    if out.empty:
+        return empty
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------
 # embedding-cosine near-dup
 
-def embedding_near_pairs(sf_dir: str, threshold: float = 0.45) -> pd.DataFrame:
+@ray.remote
+def _block_angular_stats(tbl: pa.Table) -> tuple:
+    """(centroid unit vector | None, max angular radius) of one block;
+    (None, -1.0) marks an empty block (Ray sort can emit them)."""
+    if tbl.num_rows == 0:
+        return None, -1.0
+    V = np.stack(tbl.column("embedding").to_pylist())
+    c = V.mean(axis=0)
+    n = np.linalg.norm(c)
+    if n < 1e-12:
+        return None, float(np.pi)      # degenerate: never prunable
+    c = c / n
+    ang = np.arccos(np.clip(V @ c, -1.0, 1.0))
+    return c, float(ang.max())
+
+
+def embedding_near_pairs(sf_dir: str, threshold: float = 0.45,
+                         n_clusters: int = 16, n_train: int = 2048,
+                         seed: int = 13) -> pd.DataFrame:
     """(a, b, cos) for vector pairs with cosine >= threshold — an EXACT
-    cosine similarity self-join, computed as a partitioned block-pair
-    matmul:
+    cosine similarity self-join, computed as a pivot-partitioned
+    block-pair matmul with angular triangle-inequality pruning:
 
-    1. normalize per batch (map_batches) and materialize — the blocks
-       stay in the object store; the driver holds only their ObjectRefs;
-    2. fan out one task per block PAIR (i <= j); each task zero-copy
-       reads its two blocks and emits only above-threshold pairs.
+    1. normalize per batch and assign each vector to its nearest pivot
+       (spherical k-means over a bounded seeded sample — the ann.py IVF
+       coarse quantizer); ONE sort shuffle by pivot makes blocks
+       angularly tight; blocks stay in the object store (driver holds
+       refs only);
+    2. per-block (centroid, max angular radius) stats — tiny side tasks;
+    3. prune the (i <= j) block-pair grid: for unit vectors angular
+       distance is a metric, so a pair spanning blocks I, J satisfies
+       angle(u,v) >= angle(cI,cJ) - rI - rJ; if that bound exceeds
+       arccos(threshold), block pair (I, J) cannot contain a qualifying
+       pair and is skipped — EXACTNESS IS PRESERVED (hyperplane-LSH
+       bucketing cannot guarantee the hash-exact oracle's full recall,
+       so it stays the approximate path in pipelines/ann.py);
+    4. one task per surviving block pair: matmul, emit above-threshold
+       (lo, hi) pairs.
 
+    At 10^10 vectors the unpruned grid is 10^8 tasks; with pivot-sorted
+    blocks the survivors are the near-diagonal O(B x partners) pairs.
     No full-matrix materialization anywhere (neither driver nor any one
-    worker); at cluster scale the block-pair grid is the classic
-    distributed GEMM layout. The O(N^2/B^2) pair grid is inherent to an
-    exact join — pipelines/ann.py's hyperplane-LSH buckets are the
-    approximate fast path when recall < 1 is acceptable."""
+    worker)."""
 
-    def normalize(batch: pd.DataFrame) -> pd.DataFrame:
-        ids = batch["vec_id"].to_numpy().astype("int64")
-        V = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
-        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
-        return pd.DataFrame({"vec_id": ids, "embedding": list(Vn)})
+    # ---- pivots: spherical k-means on a bounded seeded sample ----
+    train = (rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                             columns=["embedding"])
+             .limit(n_train).to_pandas())
+    T = np.stack(train["embedding"].to_numpy()).astype(np.float64)
+    Tn = T / np.linalg.norm(T, axis=1, keepdims=True)
+    rng = np.random.default_rng(seed)
+    C = Tn[rng.choice(len(Tn), size=min(n_clusters, len(Tn)), replace=False)]
+    for _ in range(8):
+        assign = np.argmax(Tn @ C.T, axis=1)
+        for c in range(len(C)):
+            m = assign == c
+            if m.any():
+                v = Tn[m].sum(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    C[c] = v / n
+    piv_ref = ray.put(C)
+
+    class NormalizeAssign:
+        def __init__(self):
+            self.C = ray.get(piv_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            ids = batch["vec_id"].to_numpy().astype("int64")
+            V = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            cl = np.argmax(Vn @ self.C.T, axis=1).astype("int32")
+            return pd.DataFrame({"vec_id": ids, "cluster": cl,
+                                 "embedding": list(Vn)})
 
     mat = (rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                            columns=["vec_id", "embedding"])
-           .map_batches(normalize, batch_format="pandas", batch_size=2048)
+           .map_batches(NormalizeAssign, batch_format="pandas",
+                        batch_size=2048, concurrency=auto_pool())
+           .sort("cluster")
            .materialize())
     refs = mat.to_arrow_refs()            # driver keeps refs, not data
 
+    # ---- per-block angular stats + grid pruning ----
+    stats = ray.get([_block_angular_stats.remote(r) for r in refs])
+    keep_blocks = [i for i, (_, r) in enumerate(stats) if r >= 0.0]
+    refs = [refs[i] for i in keep_blocks]        # drop empty sort blocks
+    stats = [stats[i] for i in keep_blocks]
+    max_ang = float(np.arccos(np.clip(threshold, -1.0, 1.0)))
+
+    def may_touch(i: int, j: int) -> bool:
+        ci, ri = stats[i]
+        cj, rj = stats[j]
+        if ci is None or cj is None:
+            return True
+        d = float(np.arccos(np.clip(np.dot(ci, cj), -1.0, 1.0)))
+        return (d - ri - rj) <= max_ang
+
+    grid = [{"bi": i, "bj": j} for i in range(len(refs))
+            for j in range(i, len(refs)) if i == j or may_touch(i, j)]
+
     class BlockPairCosine:
-        """One call per (i, j) block pair; blocks cached per actor."""
+        """One call per surviving (i, j) block pair; blocks cached per
+        actor."""
 
         def __init__(self, refs):
             self.refs = refs
@@ -507,19 +674,28 @@ def embedding_near_pairs(sf_dir: str, threshold: float = 0.45) -> pd.DataFrame:
                 S = Vi @ Vj.T
                 bi, bj = np.nonzero(S >= threshold)
                 a, b = ids_i[bi], ids_j[bj]
-                keep = a < b
+                if int(i) == int(j):
+                    keep = a < b
+                    lo, hi = a[keep], b[keep]
+                else:
+                    # cross-block roles are arbitrary (the cluster sort
+                    # breaks vec_id ordering across blocks): normalize to
+                    # (lo, hi) instead of filtering a < b, which would
+                    # silently drop pairs whenever block J holds the
+                    # smaller id (ADVICE r2)
+                    keep = a != b
+                    lo = np.minimum(a[keep], b[keep])
+                    hi = np.maximum(a[keep], b[keep])
                 out.append(pd.DataFrame({
-                    "a": a[keep], "b": b[keep],
+                    "a": lo, "b": hi,
                     "cos": round_half_away(S[bi, bj][keep]),
                 }))
             return (pd.concat(out, ignore_index=True) if out
                     else pd.DataFrame({"a": [], "b": [], "cos": []}))
 
-    grid = [{"bi": i, "bj": j} for i in range(len(refs))
-            for j in range(i, len(refs))]
     out = (rd.from_items(grid)
            .map_batches(BlockPairCosine, batch_format="pandas",
-                        batch_size=4, concurrency=2,
+                        batch_size=4, concurrency=auto_pool(),
                         fn_constructor_kwargs={"refs": refs})
            .to_pandas())
     out = out.astype({"a": "int64", "b": "int64"})

@@ -25,6 +25,8 @@ import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
+from ..functions.pool import auto_pool
+
 MAGIC = b"FAKEIMG"
 
 
@@ -94,7 +96,7 @@ def media_metadata(sf_dir: str) -> pd.DataFrame:
     (the binary column dominates block size)."""
     ds = build_media_table(sf_dir)
     out = ds.map_batches(DecodeStage, batch_format="pyarrow",
-                         concurrency=2, batch_size=256).to_pandas()
+                         concurrency=auto_pool(), batch_size=256).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -130,7 +132,7 @@ def media_resize(sf_dir: str, factor: int = 2) -> pd.DataFrame:
     """(doc_id, width, height, thumb_bytes) after the resize stage."""
     ds = build_media_table(sf_dir)
     out = ds.map_batches(ResizeStage, batch_format="pyarrow",
-                         concurrency=2, batch_size=256,
+                         concurrency=auto_pool(), batch_size=256,
                          fn_constructor_kwargs={"factor": factor})
 
     def meta(batch: pa.Table) -> pa.Table:
@@ -170,7 +172,7 @@ class FeatureStage:
 def media_features(sf_dir: str) -> pd.DataFrame:
     ds = build_media_table(sf_dir)
     out = ds.map_batches(FeatureStage, batch_format="pyarrow",
-                         concurrency=2, batch_size=256).to_pandas()
+                         concurrency=auto_pool(), batch_size=256).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -203,7 +205,7 @@ class FrameSampleStage:
 def media_frames(sf_dir: str, n_frames: int = 4) -> pd.DataFrame:
     ds = build_media_table(sf_dir)
     out = ds.map_batches(FrameSampleStage, batch_format="pyarrow",
-                         concurrency=2, batch_size=256,
+                         concurrency=auto_pool(), batch_size=256,
                          fn_constructor_kwargs={"n_frames": n_frames}) \
         .to_pandas()
     return out.sort_values(["doc_id", "frame_idx"]).reset_index(drop=True)

@@ -28,6 +28,7 @@ import ray
 import ray.data as rd
 
 from ..functions.compat import round_half_away
+from ..functions.pool import auto_pool
 from ray.data.aggregate import Count, Sum
 
 
@@ -95,7 +96,7 @@ def segment_revenue(sf_dir: str) -> pd.DataFrame:
                 [("o_totalprice", "sum"), ("o_totalprice", "count")])
 
     out = (
-        ds.map_batches(JoinPartial, batch_format="pyarrow", concurrency=2)
+        ds.map_batches(JoinPartial, batch_format="pyarrow", concurrency=auto_pool())
         .groupby("c_mktsegment")
         .aggregate(Sum("o_totalprice_sum", alias_name="revenue"),
                    Sum("o_totalprice_count", alias_name="n_orders"))
@@ -252,7 +253,7 @@ def top_orders_per_segment(sf_dir: str, k: int = 3) -> pd.DataFrame:
                 ["c_mktsegment", "o_orderkey", "o_totalprice"]]
 
     cand = ds.map_batches(GroupTopK, batch_format="pandas",
-                          concurrency=2).to_pandas()
+                          concurrency=auto_pool()).to_pandas()
     cand = cand.sort_values(["c_mktsegment", "o_totalprice", "o_orderkey"],
                             ascending=[True, False, True])
     out = cand.groupby("c_mktsegment", sort=True).head(k).reset_index(drop=True)
@@ -282,6 +283,18 @@ def user_sessions(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
     def partials(batch: pd.DataFrame) -> pd.DataFrame:
         u = batch["user_id"].to_numpy()
         ts = batch["ts"].to_numpy()
+        if not len(u):
+            # Ray sort can emit empty blocks at range boundaries
+            return pd.DataFrame({
+                "user_id": pd.Series(dtype=batch["user_id"].dtype),
+                "n_events": pd.Series(dtype="int64"),
+                "n_breaks": pd.Series(dtype="int64"),
+                "bid": pd.Series(dtype="object"),
+                "first_user": pd.Series(dtype=batch["user_id"].dtype),
+                "first_ts": pd.Series(dtype=batch["ts"].dtype),
+                "last_user": pd.Series(dtype=batch["user_id"].dtype),
+                "last_ts": pd.Series(dtype=batch["ts"].dtype),
+            })
         new_user = np.empty(len(u), dtype=bool)
         new_user[0] = True
         new_user[1:] = u[1:] != u[:-1]

@@ -24,6 +24,7 @@ import pyarrow as pa
 import ray.data as rd
 
 from ..functions.compat import round_half_away
+from ..functions.pool import auto_pool
 
 _WS = re.compile(r"\s+")
 
@@ -244,5 +245,5 @@ def langid(sf_dir: str) -> pd.DataFrame:
     (rows-only check: no SQL oracle can express the heuristic)."""
     ds = _read_docs(sf_dir, ["doc_id", "text"])
     out = ds.map_batches(LangIdStage, batch_format="pandas",
-                         concurrency=2).to_pandas()
+                         concurrency=auto_pool()).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)

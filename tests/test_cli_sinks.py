@@ -58,7 +58,7 @@ class TestFileTreeSink:
         from go_crawler_ray.stages.save import write_localized_tree
         from go_crawler_ray.sources.corpus import seed_url
 
-        c = Crawler(unit_corpus, CrawlConfig(max_count=100))
+        c = Crawler(unit_corpus, CrawlConfig(snapshot_seen=True, max_count=100))
         c.run([seed_url(0)])
         docs = c.docs_table()
         c.shutdown()
@@ -123,12 +123,12 @@ class TestPartitionedBackend:
         root = str(tmp_path / "pcorpus")
         PartitionedCorpusBackend.write(t1_corpus, root, num_partitions=8)
 
-        cfg = CrawlConfig(max_count=60)
+        cfg = CrawlConfig(snapshot_seen=True, max_count=60)
         mem = Crawler(t1_corpus, cfg)
         r_mem = mem.run([seed_url(0)])
         mem.shutdown()
 
-        part = Crawler(CorpusSpec(root, 8), CrawlConfig(max_count=60))
+        part = Crawler(CorpusSpec(root, 8), CrawlConfig(snapshot_seen=True, max_count=60))
         r_part = part.run([seed_url(0)])
         part.shutdown()
 

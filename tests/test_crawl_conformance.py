@@ -14,7 +14,7 @@ def run_both(corpus_tbl, seed, max_count, **cfg_kw):
     corpus = corpus_table_to_dict(corpus_tbl)
     oracle = oracle_crawl(corpus, seed, max_count=max_count,
                           max_file_size=cfg_kw.get("max_file_size"))
-    crawler = Crawler(corpus_tbl, CrawlConfig(max_count=max_count, **cfg_kw))
+    crawler = Crawler(corpus_tbl, CrawlConfig(snapshot_seen=True, max_count=max_count, **cfg_kw))
     result = crawler.run([seed])
     crawler.shutdown()
     return oracle, result, crawler

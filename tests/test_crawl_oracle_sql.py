@@ -18,7 +18,7 @@ BUDGET = 50
 def test_sql_simulation_matches_engine_at_t1_budget50():
     corpus_path = ensure_corpus("t1")
     crawler = Crawler(pq.read_table(corpus_path),
-                      CrawlConfig(max_count=BUDGET))
+                      CrawlConfig(snapshot_seen=True, max_count=BUDGET))
     result = crawler.run([seed_url(0)])
     docs = crawler.docs_table()
     crawler.shutdown()

@@ -18,7 +18,7 @@ class TestCuckooMode:
         crawl should match exactly or nearly."""
         oracle = oracle_crawl(corpus_table_to_dict(t1_corpus), seed_url(0),
                               max_count=10_000)
-        c = Crawler(t1_corpus, CrawlConfig(max_count=10_000,
+        c = Crawler(t1_corpus, CrawlConfig(snapshot_seen=True, max_count=10_000,
                                            seen_mode="cuckoo"))
         res = c.run([seed_url(0)])
         c.shutdown()
@@ -31,7 +31,7 @@ class TestCuckooMode:
     def test_both_mode_exact_plus_filter(self, unit_corpus):
         oracle = oracle_crawl(corpus_table_to_dict(unit_corpus), seed_url(0),
                               max_count=10_000)
-        c = Crawler(unit_corpus, CrawlConfig(max_count=10_000,
+        c = Crawler(unit_corpus, CrawlConfig(snapshot_seen=True, max_count=10_000,
                                              seen_mode="both"))
         res = c.run([seed_url(0)])
         stats = c.seen.stats()
@@ -44,7 +44,7 @@ class TestCuckooMode:
 class TestLineage:
     def test_manifest_records_partition_lineage(self, t1_corpus, tmp_path):
         ck = str(tmp_path / "ck")
-        c = Crawler(t1_corpus, CrawlConfig(max_count=30, checkpoint_dir=ck))
+        c = Crawler(t1_corpus, CrawlConfig(snapshot_seen=True, max_count=30, checkpoint_dir=ck))
         res = c.run([seed_url(0)])
         c.shutdown()
         rounds = sorted(d for d in os.listdir(ck) if d.startswith("round-"))

@@ -19,12 +19,12 @@ class TestPriorityFrontier:
                 .astype(np.int32)
 
         # unlimited budget: priority may only reorder, never change coverage
-        fifo = Crawler(t1_corpus, CrawlConfig(
+        fifo = Crawler(t1_corpus, CrawlConfig(snapshot_seen=True, 
             max_count=1 << 30, politeness_max_per_host=6))
         r_fifo = fifo.run([seed_url(0)])
         fifo.shutdown()
 
-        prio = Crawler(t1_corpus, CrawlConfig(
+        prio = Crawler(t1_corpus, CrawlConfig(snapshot_seen=True, 
             max_count=1 << 30, politeness_max_per_host=6,
             priority_fn=depth_first))
         r_prio = prio.run([seed_url(0)])
@@ -39,10 +39,10 @@ class TestPriorityFrontier:
     def test_distributed_sort_path_same_result(self, unit_corpus):
         """Forcing the Ray-sort path (tiny threshold) must not change the
         crawl outcome vs the driver lexsort path."""
-        a = Crawler(unit_corpus, CrawlConfig(max_count=10_000))
+        a = Crawler(unit_corpus, CrawlConfig(snapshot_seen=True, max_count=10_000))
         ra = a.run([seed_url(0)])
         a.shutdown()
-        b = Crawler(unit_corpus, CrawlConfig(max_count=10_000,
+        b = Crawler(unit_corpus, CrawlConfig(snapshot_seen=True, max_count=10_000,
                                              driver_sort_threshold=0))
         rb = b.run([seed_url(0)])
         b.shutdown()

@@ -120,7 +120,7 @@ class TestCrawlOracleProperty:
             links_per_page=3, text_spans_per_page=1, seed=seed))
         oracle = oracle_crawl(corpus_table_to_dict(tbl),
                               "https://h0.example/", max_count=8)
-        c = Crawler(tbl, CrawlConfig(max_count=8))
+        c = Crawler(tbl, CrawlConfig(snapshot_seen=True, max_count=8))
         res = c.run(["https://h0.example/"])
         c.shutdown()
         assert set(res.seen) == oracle.seen

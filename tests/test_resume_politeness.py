@@ -15,21 +15,21 @@ class TestResume:
     def test_kill_after_k_rounds_resume_identical(self, t1_corpus, tmp_path):
         seed = seed_url(0)
         # uninterrupted reference run
-        c_full = Crawler(t1_corpus, CrawlConfig(
+        c_full = Crawler(t1_corpus, CrawlConfig(snapshot_seen=True, 
             max_count=60, checkpoint_dir=str(tmp_path / "full")))
         full = c_full.run([seed])
         c_full.shutdown()
 
         # interrupted after 2 rounds...
         ck = str(tmp_path / "ck")
-        c1 = Crawler(t1_corpus, CrawlConfig(max_count=60, checkpoint_dir=ck))
+        c1 = Crawler(t1_corpus, CrawlConfig(snapshot_seen=True, max_count=60, checkpoint_dir=ck))
         c1.run([seed], max_rounds=2)
         c1.shutdown()
         assert os.path.exists(os.path.join(ck, "round-00001", "manifest.json"))
 
         # ...then resumed from the checkpoint
         c2 = Crawler.resume(t1_corpus, ck,
-                            CrawlConfig(max_count=60, checkpoint_dir=ck))
+                            CrawlConfig(snapshot_seen=True, max_count=60, checkpoint_dir=ck))
         resumed = c2._loop()
         c2.shutdown()
 
@@ -43,7 +43,7 @@ class TestResume:
 
     def test_docs_partitioned_per_round(self, unit_corpus, tmp_path):
         ck = str(tmp_path / "ck2")
-        c = Crawler(unit_corpus, CrawlConfig(max_count=100, checkpoint_dir=ck))
+        c = Crawler(unit_corpus, CrawlConfig(snapshot_seen=True, max_count=100, checkpoint_dir=ck))
         res = c.run([seed_url(0)])
         c.shutdown()
         files = sorted(os.listdir(os.path.join(ck, "docs")))
@@ -61,11 +61,11 @@ class TestPoliteness:
     def test_tokens_defer_not_drop(self, t1_corpus):
         """Politeness changes WHEN a URL is fetched, never WHETHER."""
         seed = seed_url(0)
-        base = Crawler(t1_corpus, CrawlConfig(max_count=40))
+        base = Crawler(t1_corpus, CrawlConfig(snapshot_seen=True, max_count=40))
         ref = base.run([seed])
         base.shutdown()
 
-        pol = Crawler(t1_corpus, CrawlConfig(
+        pol = Crawler(t1_corpus, CrawlConfig(snapshot_seen=True, 
             max_count=40, politeness_max_per_host=5))
         got = pol.run([seed])
         pol.shutdown()
@@ -76,7 +76,7 @@ class TestPoliteness:
         assert got.metrics["deferred_total"] > 0
 
     def test_per_round_host_cap_respected(self, t1_corpus):
-        pol = Crawler(t1_corpus, CrawlConfig(
+        pol = Crawler(t1_corpus, CrawlConfig(snapshot_seen=True, 
             max_count=30, politeness_max_per_host=3))
         got = pol.run([seed_url(0)])
         pol.shutdown()
@@ -85,7 +85,7 @@ class TestPoliteness:
 
     def test_robots_blocks_disallowed_prefix(self, t1_corpus):
         """Corpus plants robots.txt with 'Disallow: /dir0/' on h0."""
-        c = Crawler(t1_corpus, CrawlConfig(max_count=10_000, robots=True))
+        c = Crawler(t1_corpus, CrawlConfig(snapshot_seen=True, max_count=10_000, robots=True))
         got = c.run([seed_url(0)])
         docs = c.docs_table()
         c.shutdown()

@@ -12,7 +12,7 @@ def test_t2_full_conformance():
     tbl = generate_corpus(CorpusParams.for_scale("t2"))
     oracle = oracle_crawl(corpus_table_to_dict(tbl), seed_url(0),
                           max_count=10_000)
-    c = Crawler(tbl, CrawlConfig(max_count=10_000, num_seen_shards=4))
+    c = Crawler(tbl, CrawlConfig(snapshot_seen=True, max_count=10_000, num_seen_shards=4))
     res = c.run([seed_url(0)])
     c.shutdown()
     assert len(res.seen) == len(oracle.seen) > 1500

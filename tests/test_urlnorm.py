@@ -68,6 +68,21 @@ class TestCanonicalize:
         assert canonicalize_url("http://h/a/./b", BASE) == "http://h/a/b"
         assert canonicalize_url("http://h/a/.", BASE) == "http://h/a/"
 
+    def test_fast_path_rejects_trailing_dot_segment_before_query(self):
+        # regression (ADVICE r2): a trailing dot-segment FOLLOWED BY A
+        # QUERY used to leak through the fast path unnormalized — the
+        # endswith('/..') checks ran on the whole URL, not the path
+        assert canonicalize_url("http://h/a/..?x=1", BASE) == "http://h/?x=1"
+        assert canonicalize_url("http://h/a/.?x=1", BASE) == "http://h/a/?x=1"
+        from go_crawler_ray.functions.urlnorm import canonicalize_batch
+
+        canon, same = canonicalize_batch(
+            ["http://h/a/..?x=1", "http://h/a/.?x=1", "/a/.?x=1"],
+            ["http://h/x/y.html"] * 3)
+        assert list(canon) == ["http://h/?x=1", "http://h/a/?x=1",
+                               "http://h/a/?x=1"]
+        assert same.all()
+
     def test_fast_path_rejects_explicit_port(self):
         # regression (ADVICE r1): explicit default port must be stripped
         assert canonicalize_url("http://h:80/x", BASE) == "http://h/x"
