@@ -193,8 +193,9 @@ def run_scaling() -> dict:
     # phases). Running all N-CPU repeats then all 4N-CPU repeats lets a
     # loud phase hit ONE level only and corrupt the ratio, so the two
     # levels are INTERLEAVED as adjacent (N, 4N) pairs sharing a noise
-    # window; the reported efficiency is the best same-window pair
-    # (max-of-pairs measures the machine, not the neighbor).
+    # window. The HEADLINE efficiency is the MEDIAN of valid pairs —
+    # one-sided rejection plus max-of-N would be a selection-biased
+    # estimator; the max is reported alongside, with every pair.
     pairs = []
     for _ in range(repeats):
         lo, hi = run(n_lo), run(n_hi)
@@ -206,15 +207,19 @@ def run_scaling() -> dict:
     valid = [p for p in pairs if p[0] <= 1.0]
     if not valid:       # every window corrupted: take the quietest pair
         valid = [min(pairs, key=lambda p: p[1]["value"] + p[2]["value"])]
-    eff, lo, hi = max(valid, key=lambda p: p[0])
+    valid.sort(key=lambda p: p[0])
+    med_eff, med_lo, med_hi = valid[len(valid) // 2]
+    best_eff = valid[-1][0]
     return {
         "cpus": [n_lo, n_hi],
-        f"sec_{n_lo}": lo["value"], f"sec_{n_hi}": hi["value"],
-        "urls": lo["urls"],
-        f"urls_per_sec_{n_lo}": lo["urls_per_sec"],
-        f"urls_per_sec_{n_hi}": hi["urls_per_sec"],
-        "scaling_efficiency": round(eff, 3),
+        f"sec_{n_lo}": med_lo["value"], f"sec_{n_hi}": med_hi["value"],
+        "urls": med_lo["urls"],
+        f"urls_per_sec_{n_lo}": med_lo["urls_per_sec"],
+        f"urls_per_sec_{n_hi}": med_hi["urls_per_sec"],
+        "scaling_efficiency": round(med_eff, 3),     # median valid pair
+        "best_pair_efficiency": round(best_eff, 3),
         "all_pairs": [round(p[0], 3) for p in pairs],
+        "valid_pairs": [round(p[0], 3) for p in valid],
     }
 
 

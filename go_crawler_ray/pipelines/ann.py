@@ -21,6 +21,21 @@ from ..functions.compat import round_half_away
 from ..functions.pool import auto_pool
 
 
+def _emb_read(sf_dir: str, rows_per_block: int = 1024) -> rd.Dataset:
+    """Embeddings read with data-proportional blocks (the 2x-CPU default
+    splinters a small table into sub-100-row blocks whose per-task
+    overhead dominates the matmuls)."""
+    import pyarrow.parquet as _pq
+
+    from ..functions.pool import cluster_cpus
+
+    n = _pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
+    nb = int(min(max(n // rows_per_block + 1, 2), 4 * cluster_cpus()))
+    return rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id", "embedding"],
+                           override_num_blocks=nb)
+
+
 def _load_queries(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
     """First ``n_queries`` vectors by vec_id, via a pushed-down parquet
     row filter — never materializes the full embeddings table anywhere
@@ -69,8 +84,7 @@ def brute_force_topk(sf_dir: str, n_queries: int = 8, k: int = 5) -> pd.DataFram
                 "cos": np.array(rows["cos"]),
             })
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                         columns=["vec_id", "embedding"])
+    ds = _emb_read(sf_dir)
     cand = ds.map_batches(PartialTopK, batch_format="pandas",
                           concurrency=auto_pool(), batch_size=1024).to_pandas()
     cand = cand[cand["query_id"] != cand["neighbor_id"]]
@@ -143,8 +157,7 @@ def ivf_topk(sf_dir: str, n_queries: int = 8, k: int = 5,
                 "cos": np.array(out["cos"], dtype="float64"),
             })
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                         columns=["vec_id", "embedding"])
+    ds = _emb_read(sf_dir)
     cand = ds.map_batches(IvfProbe, batch_format="pandas",
                           concurrency=auto_pool(), batch_size=1024).to_pandas()
     cand = cand[cand["query_id"] != cand["neighbor_id"]]
@@ -197,8 +210,7 @@ def lsh_topk(sf_dir: str, n_queries: int = 8, k: int = 5,
                 "cos": np.array(out["cos"], dtype="float64"),
             })
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                         columns=["vec_id", "embedding"])
+    ds = _emb_read(sf_dir)
     cand = ds.map_batches(Probe, batch_format="pandas",
                           concurrency=auto_pool(), batch_size=1024).to_pandas()
     cand = cand[cand["query_id"] != cand["neighbor_id"]]

@@ -104,6 +104,11 @@ class CrawlConfig:
     transient_fail_rate: float = 0.0
     localize: bool = True                # run the T1 transform in save
     enrich_docs: bool = False            # + fingerprint/n_tokens per doc
+    # fetch returns raw HTML bytes and parse runs the REAL extractor over
+    # them (pkg/htmlparser path) instead of reading corpus span metadata;
+    # BFS order/seen set are byte-identical in both modes (conformance-
+    # tested) because render→extract is the hash-verified round-trip
+    parse_html: bool = False
     write_docs: bool = True
     # materialize the full seen set into CrawlResult.seen at the end.
     # Default OFF: snapshotting 10^10 URLs onto the driver is exactly what
@@ -129,9 +134,10 @@ class _FetchFn:
         self.retry_attempts = cfg.retry_attempts
         self.retry_delay = cfg.retry_delay
         self.transient_fail_rate = cfg.transient_fail_rate
+        self.emit_content = cfg.parse_html
 
     def _stage(self) -> FetchStage:
-        key = self.corpus_ref.hex()
+        key = (self.corpus_ref.hex(), self.emit_content)
         st = _FETCH_CACHE.get(key)
         if st is None:
             st = FetchStage(
@@ -141,6 +147,7 @@ class _FetchFn:
                                          delay=self.retry_delay,
                                          jitter_factor=0.0),
                 transient_fail_rate=self.transient_fail_rate,
+                emit_content=self.emit_content,
             )
             _FETCH_CACHE[key] = st
         return st
@@ -150,13 +157,13 @@ class _FetchFn:
 
 
 class _ParseFn:
-    def __init__(self, strict: bool):
-        self.strict = strict
+    def __init__(self, strict: bool, parse_html: bool = False):
+        self.key = (strict, parse_html)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        st = _PARSE_CACHE.get(self.strict)
+        st = _PARSE_CACHE.get(self.key)
         if st is None:
-            st = _PARSE_CACHE[self.strict] = ParseStage(self.strict)
+            st = _PARSE_CACHE[self.key] = ParseStage(*self.key)
         return st(batch)
 
 
@@ -304,6 +311,11 @@ class Crawler:
             if self.docs_dir:
                 os.makedirs(self.docs_dir, exist_ok=True)
         self._docs_mem: list[pa.Table] = []   # when no checkpoint dir
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._ckpt_pool = ThreadPoolExecutor(max_workers=1,
+                                             thread_name_prefix="ckpt")
+        self._ckpt_future = None
 
     # -- robots -----------------------------------------------------------
     def _preload_robots(self, corpus: pa.Table) -> None:
@@ -453,29 +465,61 @@ class Crawler:
         # Small frontiers sort on the driver (vectorized lexsort); huge ones
         # go through a Ray Data sort shuffle (the scale path — exercised in
         # tests via a tiny threshold).
+        robots_blocked = None
         if current.num_rows > self.cfg.driver_sort_threshold:
-            sorted_ds = rd.from_arrow(current).sort(["priority", "seq"])
+            # scale path: politeness admission AND the (priority, seq)
+            # ordering run as ONE Ray pipeline — a groupby(host) stamps
+            # the per-host token admit flag (top max_per_host rows by
+            # (priority, seq) FIFO fairness), chained into the sort
+            # shuffle; a 10^10-row frontier round never computes
+            # admission driver-side
+            nb = int(np.clip(current.num_rows // 65536 + 1, 2, 256))
+            step = -(-current.num_rows // nb)
+            slices = [current.slice(i, step)
+                      for i in range(0, current.num_rows, step)]
+            ds = rd.from_arrow(slices)
+            mph = cfg.politeness_max_per_host
+            if mph:
+                def admit_topk(g):
+                    order = np.lexsort((g["seq"].to_numpy(),
+                                        g["priority"].to_numpy()))
+                    admit = np.zeros(len(g), dtype=bool)
+                    admit[order[:mph]] = True
+                    return g.assign(admit=admit)
+
+                ds = ds.groupby("host").map_groups(admit_topk,
+                                                   batch_format="pandas")
+            sorted_ds = ds.sort(["priority", "seq"])
             parts = [b for b in sorted_ds.iter_batches(batch_format="pyarrow")
                      if b.num_rows]
             current = pa.concat_tables(parts, promote_options="default")
-        elif current.num_rows:
-            srt = np.lexsort(
-                (current.column("seq").to_numpy(zero_copy_only=False),
-                 current.column("priority").to_numpy(zero_copy_only=False)))
-            current = current.take(pa.array(srt))
-
-        robots_blocked = None
-        if cfg.politeness_max_per_host:
-            hosts = np.array(current.column("host").to_pylist())
-            # rank = position in the (priority, seq)-sorted frontier, so
-            # admission honors priority then FIFO
-            rank = np.arange(current.num_rows, dtype=np.int64)
-            admit = apply_host_tokens(hosts, rank, cfg.politeness_max_per_host)
-            self._deferred = current.filter(pa.array(~admit))
-            self.metrics["deferred_total"] += int((~admit).sum())
-            current = current.filter(pa.array(admit))
+            if mph:
+                admit = current.column("admit")
+                current = current.drop_columns(["admit"])
+                self._deferred = current.filter(pc.invert(admit))
+                self.metrics["deferred_total"] += \
+                    current.num_rows - int(pc.sum(admit).as_py() or 0)
+                current = current.filter(admit)
+            else:
+                self._deferred = _empty_frontier()
         else:
-            self._deferred = _empty_frontier()
+            if current.num_rows:
+                srt = np.lexsort(
+                    (current.column("seq").to_numpy(zero_copy_only=False),
+                     current.column("priority").to_numpy(zero_copy_only=False)))
+                current = current.take(pa.array(srt))
+            if cfg.politeness_max_per_host:
+                hosts = np.array(current.column("host").to_pylist())
+                # rank = position in the (priority, seq)-sorted frontier,
+                # so admission honors priority then FIFO
+                rank = np.arange(current.num_rows, dtype=np.int64)
+                admit = apply_host_tokens(hosts, rank,
+                                          cfg.politeness_max_per_host)
+                self._deferred = current.filter(pa.array(~admit))
+                self.metrics["deferred_total"] += int((~admit).sum())
+                current = current.filter(pa.array(admit))
+            else:
+                self._deferred = _empty_frontier()
 
         if self.robots is not None and current.num_rows:
             hosts = current.column("host").to_pylist()
@@ -629,48 +673,73 @@ class Crawler:
         self.round += 1
 
     def _checkpoint(self) -> None:
+        """Submit this round's checkpoint to the writer thread and return
+        immediately — the parquet/manifest writes (driver-local I/O, the
+        measured per-round serial floor after r2 moved the accept path
+        off the driver) OVERLAP the next round's distributed stream. The
+        one-deep queue (join before the next submit) keeps round dirs
+        strictly ordered; a crash mid-write leaves a round dir without
+        manifest.json, which resume already treats as incomplete."""
         ckpt = self.cfg.checkpoint_dir
         if not ckpt:
             return
-        rdir = os.path.join(ckpt, f"round-{self.round:05d}")
-        os.makedirs(rdir, exist_ok=True)
-        pq.write_table(self._frontier, os.path.join(rdir, "frontier.parquet"))
-        pq.write_table(self._deferred, os.path.join(rdir, "deferred.parquet"))
-        # DELTA logs: only parts produced since the previous checkpoint
-        # (resume concatenates the round chain's deltas)
         visit = (pa.concat_tables(self._visit_new)
                  if self._visit_new else _empty_frontier())
         self._visit_new = []
-        pq.write_table(visit, os.path.join(rdir, "visit_delta.parquet"))
         extra = (pa.concat_tables(self._seen_extra_new)
                  if self._seen_extra_new
                  else pa.table({"url": pa.array([], pa.string()),
                                 "host": pa.array([], pa.string())}))
         self._seen_extra_new = []
-        pq.write_table(extra, os.path.join(rdir, "seen_extra_delta.parquet"))
-        # per-partition lineage: which docs part files this round produced
-        # (workers write them; a resumed run can skip/verify completed
-        # partitions by listing the manifest chain)
-        docs_parts = []
-        if self.docs_dir and os.path.isdir(self.docs_dir):
-            prefix = f"round-{self.round:05d}-"
-            docs_parts = sorted(
-                f for f in os.listdir(self.docs_dir) if f.startswith(prefix))
         manifest = {
             "round": self.round, "next_seq": self.next_seq,
             "pages_queued": self.pages_queued,
             "seen_size": self.seen.total_size(),
             "frontier_rows": self._frontier.num_rows,
             "deferred_rows": self._deferred.num_rows,
-            "docs_parts": docs_parts,
+            "docs_parts": None,     # filled by the writer (it lists the dir)
             "round_metrics": self.metrics["rounds"][-1]
             if self.metrics["rounds"] else None,
             "metrics": {k: v for k, v in self.metrics.items() if k != "rounds"},
         }
+        import copy
+
+        self._ckpt_flush()
+        self._ckpt_future = self._ckpt_pool.submit(
+            self._write_checkpoint, ckpt, self.round, self._frontier,
+            self._deferred, visit, extra, copy.deepcopy(manifest),
+            self.docs_dir)
+
+    def _write_checkpoint(self, ckpt, round_no, frontier, deferred, visit,
+                          extra, manifest, docs_dir) -> None:
+        rdir = os.path.join(ckpt, f"round-{round_no:05d}")
+        os.makedirs(rdir, exist_ok=True)
+        pq.write_table(frontier, os.path.join(rdir, "frontier.parquet"))
+        pq.write_table(deferred, os.path.join(rdir, "deferred.parquet"))
+        # DELTA logs: only parts produced since the previous checkpoint
+        # (resume concatenates the round chain's deltas)
+        pq.write_table(visit, os.path.join(rdir, "visit_delta.parquet"))
+        pq.write_table(extra, os.path.join(rdir, "seen_extra_delta.parquet"))
+        # per-partition lineage: which docs part files this round produced
+        # (workers wrote them before the round barrier; a resumed run can
+        # skip/verify completed partitions by listing the manifest chain)
+        docs_parts = []
+        if docs_dir and os.path.isdir(docs_dir):
+            prefix = f"round-{round_no:05d}-"
+            docs_parts = sorted(
+                f for f in os.listdir(docs_dir) if f.startswith(prefix))
+        manifest["docs_parts"] = docs_parts
         tmp = os.path.join(rdir, "manifest.json.tmp")
         with open(tmp, "w") as f:
             json.dump(manifest, f)
         os.replace(tmp, os.path.join(rdir, "manifest.json"))
+
+    def _ckpt_flush(self) -> None:
+        """Join the in-flight checkpoint write (raises its error, if any)."""
+        fut = getattr(self, "_ckpt_future", None)
+        if fut is not None:
+            self._ckpt_future = None
+            fut.result()
 
     # -- run / resume ------------------------------------------------------
     def run(self, seeds: list[str], max_rounds: int | None = None) -> CrawlResult:
@@ -687,6 +756,7 @@ class Crawler:
                 and rounds_done < limit:
             self._run_round()
             rounds_done += 1
+        self._ckpt_flush()       # join the overlapped final checkpoint
         elapsed = time.time() - t0
         visit = (pa.concat_tables(self._visit_parts)
                  if self._visit_parts else _empty_frontier())
@@ -785,6 +855,11 @@ class Crawler:
         self.metrics["rounds"] = []
         self._docs_mem = []
         self._last_offered = 0
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._ckpt_pool = ThreadPoolExecutor(max_workers=1,
+                                             thread_name_prefix="ckpt")
+        self._ckpt_future = None
         self.docs_dir = os.path.join(checkpoint_dir, "docs") \
             if cfg.write_docs else None
         # restore the seen set: every URL ever enqueued OR refused was
@@ -799,6 +874,8 @@ class Crawler:
         return self
 
     def shutdown(self) -> None:
+        self._ckpt_flush()
+        self._ckpt_pool.shutdown(wait=True)
         self.seen.shutdown()
         if self.robots is not None:
             self.robots.shutdown()

@@ -25,12 +25,13 @@ The large-scale training-data dedup toolkit, Ray-Data-first:
   block-pair matmul over object-store block refs (distributed-GEMM
   layout; no full-matrix materialization on any node).
 
-Every O(corpus) stage — signatures, banding, bucket pairs, candidate
-shingling (broadcast semi-join), pair verification — runs in map_batches
-/ groupby. The driver handles only candidate-pair lists (small by LSH /
-prefix-filter design) and the final union-find over verified pairs; at
-10^10-doc scale, swap the driver union-find for a few rounds of
-min-label propagation with groupby.
+Every O(corpus) AND every O(pairs) stage runs distributed: signatures,
+banding and bucket pairs in map_batches/groupby; candidate pairs stay a
+distinct-pair groupby DATASET; exact-Jaccard verification point-reads
+candidates with a pushed-down filter per actor; connected components run
+as Hash-to-Min min-label-propagation groupby rounds. The driver only
+ever holds candidate doc-id ints and final (node, label) tables — both
+O(LSH candidates), never O(corpus) or O(pairs).
 """
 
 from __future__ import annotations
@@ -50,8 +51,29 @@ from ..functions.pool import auto_pool
 _WS = re.compile(r"\s+")
 
 
-def _read_docs(sf_dir: str, columns: list[str]) -> rd.Dataset:
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+def _read_docs(sf_dir: str, columns: list[str],
+               nblocks: int | None = None) -> rd.Dataset:
+    """Pruned documents read. ``nblocks`` overrides Ray's default block
+    split (2x cluster CPUs): on a small corpus that default yields dozens
+    of sub-100-row blocks, and every downstream groupby shuffles with one
+    partition PER BLOCK — pure scheduling overhead. Callers that feed a
+    shuffle pick ~2 blocks per pool actor instead; at 100 TB the default
+    (bytes-targeted) split is already right, so pass None there."""
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns,
+                           override_num_blocks=nblocks)
+
+
+def _docs_blocks(sf_dir: str, rows_per_block: int = 512) -> int:
+    """Block count targeting ``rows_per_block`` docs per block, capped at
+    4x cluster CPUs — scales with BOTH the data and the cluster, unlike
+    the 2x-CPU default that splinters small corpora into sub-100-row
+    blocks."""
+    import pyarrow.parquet as _pq
+
+    from ..functions.pool import cluster_cpus
+
+    n = _pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    return int(np.clip(n // rows_per_block + 1, 2, 4 * cluster_cpus()))
 
 
 # ---------------------------------------------------------------------------
@@ -62,7 +84,7 @@ def exact_dedup(sf_dir: str, key_words: int = 3) -> pd.DataFrame:
 
     Returns (dedup_key, keep_doc_id, n_dups) per key — the survivor table
     of an exact dedup pass."""
-    ds = _read_docs(sf_dir, ["doc_id", "text"])
+    ds = _read_docs(sf_dir, ["doc_id", "text"], _docs_blocks(sf_dir))
 
     def add_key(batch: pd.DataFrame) -> pd.DataFrame:
         keys = (batch["text"].str.strip().str.split(_WS).str[:key_words]
@@ -128,7 +150,15 @@ class MinHasher:
 
 
 class MinHashStage:
-    """map_batches actor: emits (band_id, band_hash, doc_id) rows."""
+    """map_batches actor: emits (band_id, band_hash, doc_id) rows.
+
+    The signature kernel is BATCH-vectorized: shingle strings for the
+    whole batch are hashed in one table-driven crc pass
+    (functions.hashing.crc32_many), deduped per doc with a single
+    np.unique over (doc_idx << 32 | hash) keys, and min-hashed with ONE
+    (perms x shingles) modular multiply + segment-min (reduceat) —
+    bit-identical to the per-doc ``MinHasher.signature`` path, which
+    remains as the reference kernel for tests."""
 
     def __init__(self, num_perms: int = 64, bands: int = 16, shingle_k: int = 3):
         self.mh = MinHasher(num_perms)
@@ -137,28 +167,76 @@ class MinHashStage:
         self.shingle_k = shingle_k
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        band_ids, band_hashes, doc_ids = [], [], []
+        # chunk internally: the (perms x shingles) work matrix must stay
+        # cache-sized regardless of how Ray blocks the input (a 5000-doc
+        # block measured 8.5 s monolithic vs 0.4 s in 512-doc chunks)
+        if len(batch) > 512:
+            return pd.concat(
+                [self._chunk(batch.iloc[i:i + 512])
+                 for i in range(0, len(batch), 512)], ignore_index=True)
+        return self._chunk(batch)
+
+    def _chunk(self, batch: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.hashing import crc32_many
+
+        k = self.shingle_k
+        texts = batch["text"].tolist()
+        ids = batch["doc_id"].to_numpy().astype(np.int64)
+        n_docs = len(texts)
+        if not n_docs:
+            return pd.DataFrame({
+                "band_id": np.array([], dtype="int32"),
+                "band_hash": np.array([], dtype="int64"),
+                "doc_id": np.array([], dtype="int64"),
+            })
+        sh_strs: list[str] = []
+        seg = np.empty(n_docs + 1, dtype=np.int64)
+        seg[0] = 0
+        for d, t in enumerate(texts):
+            toks = _WS.split(t.strip())
+            if len(toks) < k:
+                sh_strs.append(" ".join(toks))
+            else:
+                sh_strs.extend(" ".join(toks[i:i + k])
+                               for i in range(len(toks) - k + 1))
+            seg[d + 1] = len(sh_strs)
+
+        h = crc32_many(pa.array(sh_strs, pa.string())).astype(np.uint64)
+        docidx = np.repeat(np.arange(n_docs, dtype=np.uint64), np.diff(seg))
+        uk = np.unique((docidx << np.uint64(32)) | h)   # per-doc distinct
+        uh = uk & np.uint64(0xFFFFFFFF)
+        ud = (uk >> np.uint64(32)).astype(np.int64)
+        starts = np.searchsorted(ud, np.arange(n_docs))
+        # (a*x + b) mod P for every (perm, shingle) at once, then per-doc
+        # segment minima — identical arithmetic to MinHasher.signature
+        v = (self.mh.a[:, None] * uh[None, :]
+             + self.mh.b[:, None]) % MinHasher._P
+        sigs = np.ascontiguousarray(
+            np.minimum.reduceat(v, starts, axis=1).T)   # docs x perms
+
         r = self.rows_per_band
-        for doc_id, text in zip(batch["doc_id"], batch["text"]):
-            sig = self.mh.signature(_shingles(text, self.shingle_k))
+        band_hashes = np.empty(n_docs * self.bands, dtype=np.int64)
+        pos = 0
+        for d in range(n_docs):
+            row = sigs[d]
             for b in range(self.bands):
-                h = zlib.crc32(sig[b * r:(b + 1) * r].tobytes())
-                band_ids.append(b)
-                band_hashes.append(h)
-                doc_ids.append(doc_id)
+                band_hashes[pos] = zlib.crc32(row[b * r:(b + 1) * r].tobytes())
+                pos += 1
         return pd.DataFrame({
-            "band_id": np.array(band_ids, dtype="int32"),
-            "band_hash": np.array(band_hashes, dtype="int64"),
-            "doc_id": np.array(doc_ids, dtype="int64"),
+            "band_id": np.tile(np.arange(self.bands, dtype=np.int32), n_docs),
+            "band_hash": band_hashes,
+            "doc_id": np.repeat(ids, self.bands),
         })
 
 
-def _candidate_pairs_ds(ds: rd.Dataset) -> rd.Dataset:
-    """Distinct candidate pairs as a DATASET — groupby band bucket ->
-    all pairs within a bucket -> distinct-pair groupby. The pair set
+def _candidate_pairs_ds(ds: rd.Dataset, distinct: bool = True) -> rd.Dataset:
+    """Candidate pairs as a DATASET — groupby band bucket -> all pairs
+    within a bucket -> optional distinct-pair groupby. The pair set
     never lands on the driver (it used to be a driver ``set``; on a
     skewed corpus one hot band bucket would have made that the
-    scale-killer)."""
+    scale-killer). ``distinct=False`` skips the second shuffle when the
+    consumer tolerates a pair colliding in >1 band (connected
+    components do; verification pays at most a bands-x duplication)."""
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = np.sort(g["doc_id"].unique())
@@ -168,59 +246,43 @@ def _candidate_pairs_ds(ds: rd.Dataset) -> rd.Dataset:
         a, b = np.triu_indices(len(ids), k=1)
         return pd.DataFrame({"a": ids[a], "b": ids[b]})
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.iloc[:1][["a", "b"]]
+    out = ds.groupby(["band_id", "band_hash"]).map_groups(
+        pairs, batch_format="pandas")
+    if distinct:
+        def first(g: pd.DataFrame) -> pd.DataFrame:
+            return g.iloc[:1][["a", "b"]]
 
-    return (ds.groupby(["band_id", "band_hash"])
-            .map_groups(pairs, batch_format="pandas")
-            .groupby(["a", "b"])         # a pair may collide in >1 band
-            .map_groups(first, batch_format="pandas"))
-
-
-def _collect_candidate_shingles(sf_dir: str, doc_ids,
-                                shingle_k: int = 3,
-                                string_shingles: bool = False) -> list:
-    """Distributed semi-join: broadcast the candidate-id set (ray.put
-    once), filter + shingle inside map_batches. Returns the OBJECT-STORE
-    block refs of the (doc_id, shingles) table — the shingle sets never
-    land on the driver; verify actors assemble their lookup dict from
-    the shared blocks."""
-    need_ref = ray.put(np.array(sorted(doc_ids), dtype=np.int64))
-
-    class ShingleCandidates:
-        def __init__(self):
-            self.need = ray.get(need_ref)
-
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            m = np.isin(batch["doc_id"].to_numpy(), self.need)
-            sub = batch[m]
-            rows = []
-            for d, t in zip(sub["doc_id"], sub["text"]):
-                sh = (_string_shingles(t, shingle_k) if string_shingles
-                      else _shingles(t, shingle_k))
-                rows.append((int(d), sorted(sh)))
-            return pd.DataFrame(rows, columns=["doc_id", "shingles"])
-
-    mat = (_read_docs(sf_dir, ["doc_id", "text"])
-           .map_batches(ShingleCandidates, batch_format="pandas",
-                        concurrency=auto_pool())
-           .materialize())
-    return mat.to_arrow_refs()
+        out = (out.groupby(["a", "b"])   # a pair may collide in >1 band
+               .map_groups(first, batch_format="pandas"))
+    return out
 
 
-def _verify_pairs_ds(pairs_ds: rd.Dataset, shingle_refs: list,
-                     threshold: float) -> rd.Dataset:
+def _verify_pairs_ds(pairs_ds: rd.Dataset, sf_dir: str, need_ids,
+                     threshold: float, shingle_k: int = 3,
+                     string_shingles: bool = False) -> rd.Dataset:
     """Exact-Jaccard verification as a map_batches stage over the pair
-    dataset; each actor builds its shingle lookup once from the shared
-    object-store blocks (zero driver residency)."""
+    dataset. Each actor point-reads ONLY the candidate documents
+    (broadcast id set + pushed-down parquet filter) and shingles them
+    once in __init__ — the map-side analog of a lookup into partitioned
+    corpus storage; at 100 TB the filtered read becomes a
+    hash-partitioned point lookup (stages/fetch.PartitionedCorpusBackend
+    idiom). Shingle sets never touch the driver."""
+    need_ref = ray.put(np.array(sorted(need_ids), dtype=np.int64))
 
     class VerifyJaccard:
         def __init__(self):
-            self.sh: dict = {}
-            for tbl in ray.get(list(shingle_refs)):
-                for d, s in zip(tbl.column("doc_id").to_pylist(),
-                                tbl.column("shingles").to_pylist()):
-                    self.sh[int(d)] = set(s)
+            import pyarrow.compute as pc
+            import pyarrow.parquet as pq
+
+            need = ray.get(need_ref)
+            tbl = pq.read_table(
+                f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+                filters=pc.field("doc_id").isin(need))
+            self.sh = {
+                int(d): (_string_shingles(t, shingle_k) if string_shingles
+                         else _shingles(t, shingle_k))
+                for d, t in zip(tbl.column("doc_id").to_pylist(),
+                                tbl.column("text").to_pylist())}
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
             out_a, out_b, out_j = [], [], []
@@ -238,7 +300,7 @@ def _verify_pairs_ds(pairs_ds: rd.Dataset, shingle_refs: list,
             })
 
     return pairs_ds.map_batches(VerifyJaccard, batch_format="pandas",
-                                concurrency=auto_pool())
+                                concurrency=auto_pool(frac=0.25))
 
 
 def _min_label_components(pairs_ds: rd.Dataset,
@@ -248,15 +310,18 @@ def _min_label_components(pairs_ds: rd.Dataset,
     Map-Reduce in Logarithmic Rounds" — public). Returns (node, label)
     for every node that appears in an edge; label = component min.
 
-    State is a (node, member) multiset: C(v) starts as N(v) ∪ {v}. Each
-    round, per node, m = min(C(v)); emit (m, c) and (c, m) for all c ∈
-    C(v); new C(v) = union of received. Labels min(C(v)) are
-    element-wise non-increasing, and the state reaches a fixpoint in
-    O(log d) rounds, so the (row-count, label-sum) pair is a sound
-    convergence check. Every round is ONE groupby shuffle over the
-    LSH-bounded edge-adjacency rows — nothing touches the driver but
-    the two scalar checksums and the final label table."""
-    from ray.data.aggregate import Min
+    State is a (node, member) multiset: C(v) starts as N(v) ∪ {v} —
+    duplicate input edges are harmless (np.unique per group absorbs
+    them), so callers may feed raw multi-band pairs without a distinct
+    pass. Each round, per node, m = min(C(v)); emit (m, c) and (c, m)
+    for all c ∈ C(v); new C(v) = union of received. The state reaches a
+    fixpoint in O(log d) rounds; LSH near-dup components are
+    near-cliques (diameter ≤ 2), so the loop finalizes after two rounds
+    and only keeps iterating if the edge-consistency check — one cheap
+    distributed pass asserting every edge's endpoints share a label —
+    fails. Every round is ONE groupby shuffle over the LSH-bounded
+    edge-adjacency rows; the driver holds nothing but the final label
+    table."""
 
     def init_state(batch: pd.DataFrame) -> pd.DataFrame:
         a = batch["a"].to_numpy()
@@ -274,21 +339,44 @@ def _min_label_components(pairs_ds: rd.Dataset,
             "member": np.concatenate([C, np.full(len(C), m, dtype="int64")]),
         }).drop_duplicates()
 
+    def labels_of(st: rd.Dataset) -> pd.DataFrame:
+        # st is materialized and O(candidate nodes) — the label table is
+        # being pulled to the driver anyway (it IS the result), so a
+        # local min-per-node over the state blocks replaces a whole
+        # aggregate execution
+        df = st.to_pandas()
+        out = (df.groupby("node", sort=True)["member"].min()
+               .reset_index().rename(columns={"member": "label"}))
+        out["label"] = out["label"].astype("int64")
+        return out
+
+    def edges_consistent(lab: pd.DataFrame) -> bool:
+        lab_ref = ray.put(dict(zip(lab["node"].astype(int),
+                                   lab["label"].astype(int))))
+
+        def mism(batch: pd.DataFrame) -> pd.DataFrame:
+            lb = ray.get(lab_ref)
+            n = sum(1 for a, b in zip(batch["a"], batch["b"])
+                    if lb.get(int(a), int(a)) != lb.get(int(b), int(b)))
+            return pd.DataFrame({"bad": [n]})
+
+        got = pairs_ds.map_batches(mism, batch_format="pandas").to_pandas()
+        return int(got["bad"].sum()) == 0
+
+    # init chains LAZILY into round 1's shuffle — no extra barrier
     state = pairs_ds.map_batches(init_state, batch_format="pandas")
-    prev = None
+    rounds = 0
     lab = None
-    for _ in range(max_rounds):
+    while rounds < max_rounds:
         state = (state.groupby("node")
                  .map_groups(htm_round, batch_format="pandas")
                  .materialize())
-        lab = state.groupby("node").aggregate(Min("member")).materialize()
-        chk = (state.count(), lab.sum("min(member)"))
-        if chk == prev:
-            break
-        prev = chk
-    out = lab.to_pandas().rename(columns={"min(member)": "label"})
-    out["label"] = out["label"].astype("int64")
-    return out
+        rounds += 1
+        if rounds >= 2:
+            lab = labels_of(state)
+            if edges_consistent(lab):
+                return lab
+    return lab if lab is not None else labels_of(state)
 
 
 def minhash_clusters(sf_dir: str, threshold: float = 0.8,
@@ -304,12 +392,15 @@ def minhash_clusters(sf_dir: str, threshold: float = 0.8,
     (broadcast label map over a map_batches pass). The only values the
     driver ever holds are the candidate doc-id ints and the final label
     table — both O(LSH candidates), not O(corpus) or O(pairs)."""
-    ds = _read_docs(sf_dir, ["doc_id", "text"])
+    ds = _read_docs(sf_dir, ["doc_id", "text"], _docs_blocks(sf_dir))
     band_ds = ds.map_batches(MinHashStage, batch_format="pandas",
-                             concurrency=auto_pool(),
+                             concurrency=auto_pool(frac=0.25),
                              fn_constructor_kwargs={"num_perms": num_perms,
                                                     "bands": bands})
-    pairs_ds = _candidate_pairs_ds(band_ds).materialize()
+    # distinct=False: components absorb multi-band duplicate pairs, so
+    # skipping the second shuffle trades a ≤bands-x verify duplication
+    # (microseconds per pair) for one fewer all-to-all barrier
+    pairs_ds = _candidate_pairs_ds(band_ds, distinct=False).materialize()
 
     labels: dict[int, int] = {}
     if pairs_ds.count():
@@ -317,26 +408,22 @@ def minhash_clusters(sf_dir: str, threshold: float = 0.8,
         for tbl in ray.get(pairs_ds.to_arrow_refs()):
             need.update(tbl.column("a").to_pylist())
             need.update(tbl.column("b").to_pylist())
-        sh_refs = _collect_candidate_shingles(sf_dir, need)
-        verified = _verify_pairs_ds(pairs_ds, sh_refs, threshold).materialize()
+        verified = _verify_pairs_ds(pairs_ds, sf_dir, need,
+                                    threshold).materialize()
         if verified.count():
             lab = _min_label_components(verified)
             labels = dict(zip(lab["node"].astype(int), lab["label"].astype(int)))
 
     lab_ref = ray.put(labels)
 
-    class AssignCluster:
-        def __init__(self):
-            self.lab = ray.get(lab_ref)
+    def assign_cluster(batch: pd.DataFrame) -> pd.DataFrame:
+        lab = ray.get(lab_ref)        # plasma-local after the first call
+        ids = batch["doc_id"].astype("int64")
+        cl = ids.map(lab).fillna(ids).astype("int64")
+        return pd.DataFrame({"doc_id": ids, "cluster_id": cl})
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            ids = batch["doc_id"].astype("int64")
-            cl = ids.map(self.lab).fillna(ids).astype("int64")
-            return pd.DataFrame({"doc_id": ids, "cluster_id": cl})
-
-    out = (_read_docs(sf_dir, ["doc_id"])
-           .map_batches(AssignCluster, batch_format="pandas",
-                        concurrency=auto_pool())
+    out = (_read_docs(sf_dir, ["doc_id"], _docs_blocks(sf_dir, 8192))
+           .map_batches(assign_cluster, batch_format="pandas")
            .to_pandas())
     return out.sort_values("doc_id").reset_index(drop=True)
 
@@ -362,7 +449,7 @@ class SimHashStage:
 
 
 def simhash_signatures(sf_dir: str) -> pd.DataFrame:
-    ds = _read_docs(sf_dir, ["doc_id", "text"])
+    ds = _read_docs(sf_dir, ["doc_id", "text"], _docs_blocks(sf_dir))
     out = ds.map_batches(SimHashStage, batch_format="pandas",
                          concurrency=auto_pool()).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
@@ -453,9 +540,9 @@ def simhash_near_pairs(sf_dir: str, max_hamming: int = 3,
     def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
         return g.iloc[:1][["a", "b", "hamming"]]
 
-    sig_ds = (_read_docs(sf_dir, ["doc_id", "text"])
+    sig_ds = (_read_docs(sf_dir, ["doc_id", "text"], _docs_blocks(sf_dir))
               .map_batches(SimHashStage, batch_format="pandas",
-                           concurrency=auto_pool()))
+                           concurrency=auto_pool(frac=0.25)))
     if write_sidecar:
         import os
         import shutil
@@ -520,7 +607,7 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5,
     def first(g: pd.DataFrame) -> pd.DataFrame:
         return g.iloc[:1][["a", "b"]]
 
-    pairs_ds = (_read_docs(sf_dir, ["doc_id", "text"])
+    pairs_ds = (_read_docs(sf_dir, ["doc_id", "text"], _docs_blocks(sf_dir))
                 .map_batches(prefix_rows, batch_format="pandas")
                 .groupby("shingle")
                 .map_groups(bucket_pairs, batch_format="pandas")
@@ -530,15 +617,17 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5,
     empty = pd.DataFrame({"a": pd.Series(dtype="int64"),
                           "b": pd.Series(dtype="int64"),
                           "jaccard": pd.Series(dtype="float64")})
-    if not pairs_ds.count():
+    n_pairs = pairs_ds.count()
+    if not n_pairs:
         return empty
+    pairs_ds = pairs_ds.repartition(
+        int(np.clip(n_pairs // 100_000 + 2, 2, 32))).materialize()
     need = set()
     for tbl in ray.get(pairs_ds.to_arrow_refs()):
         need.update(tbl.column("a").to_pylist())
         need.update(tbl.column("b").to_pylist())
-    sh_refs = _collect_candidate_shingles(sf_dir, need, shingle_k,
-                                          string_shingles=True)
-    out = _verify_pairs_ds(pairs_ds, sh_refs, threshold).to_pandas()
+    out = _verify_pairs_ds(pairs_ds, sf_dir, need, threshold, shingle_k,
+                           string_shingles=True).to_pandas()
     if out.empty:
         return empty
     return out.sort_values(["a", "b"]).reset_index(drop=True)
@@ -622,8 +711,9 @@ def embedding_near_pairs(sf_dir: str, threshold: float = 0.45,
             return pd.DataFrame({"vec_id": ids, "cluster": cl,
                                  "embedding": list(Vn)})
 
-    mat = (rd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                           columns=["vec_id", "embedding"])
+    from .ann import _emb_read
+
+    mat = (_emb_read(sf_dir, rows_per_block=2048)
            .map_batches(NormalizeAssign, batch_format="pandas",
                         batch_size=2048, concurrency=auto_pool())
            .sort("cluster")

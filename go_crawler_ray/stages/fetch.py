@@ -236,7 +236,14 @@ class FetchStage:
 
     def __init__(self, corpus, max_file_size: int | None = None,
                  retry_config: RetryConfig | None = None,
-                 transient_fail_rate: float = 0.0):
+                 transient_fail_rate: float = 0.0,
+                 emit_content: bool = False):
+        """``emit_content``: additionally emit ``raw_content`` — the
+        page's raw HTML bytes (rendered from its spans; a real-web
+        backend would return the HTTP body here) — so the parse stage
+        can run the REAL HTML extractor instead of reading corpus spans
+        (CrawlConfig.parse_html mode, reference path internal/
+        models.go:112-126 over pkg/htmlparser/parser.go:20-98)."""
         import ray
 
         obj = ray.get(corpus) if isinstance(corpus, ray.ObjectRef) else corpus
@@ -253,6 +260,7 @@ class FetchStage:
         self.retry_config = retry_config or RetryConfig(
             max_attempts=3, delay=0.0, jitter_factor=0.0)
         self.transient_fail_rate = transient_fail_rate
+        self.emit_content = emit_content
         self._failed_once: set[str] = set()
 
     def _lookup_one(self, url: str) -> int:
@@ -303,4 +311,17 @@ class FetchStage:
         out = batch.append_column("spans", spans)
         out = out.append_column("content_size", pa.array(sizes))
         out = out.append_column("status", status)
-        return out.append_column("skipped_on", skipped_on)
+        out = out.append_column("skipped_on", skipped_on)
+        if self.emit_content:
+            from .html_extract import render_doc_html
+
+            kinds_l = batch.column("kind").to_pylist()
+            spans_l = spans.to_pylist()
+            skipped_l = skipped.tolist()
+            contents = [
+                render_doc_html(s).encode("utf-8")
+                if k == "page" and not sk else b""
+                for s, k, sk in zip(spans_l, kinds_l, skipped_l)]
+            out = out.append_column(
+                "raw_content", pa.array(contents, pa.large_binary()))
+        return out

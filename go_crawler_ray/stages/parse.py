@@ -45,8 +45,17 @@ class ParseStage:
     """map_batches callable: + children:list<struct<url,kind,position>>,
     span_canon:list<string>, n_children:int32."""
 
-    def __init__(self, strict_rfc3986: bool = True):
+    def __init__(self, strict_rfc3986: bool = True, parse_html: bool = False):
+        """``parse_html``: take each page's out-edges from the REAL HTML
+        extractor over its ``raw_content`` bytes (stages/html_extract.py,
+        reference pkg/htmlparser/parser.go:20-98) instead of the corpus
+        spans' media_ref metadata. The resource spans still provide slot
+        positions/kinds (the extractor emits resources in exactly that
+        document order — the hash-verified render→extract round-trip),
+        so children, span_canon and the BFS order are byte-identical in
+        both modes."""
         self.strict = strict_rfc3986
+        self.parse_html = parse_html
         self.canon = Canonicalizer(strict_rfc3986)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -78,6 +87,20 @@ class ParseStage:
                 flat.field("media_ref").take(pa.array(sel)).to_pylist(),
                 dtype=object)
             sel_parent = parent[sel]
+            if self.parse_html and "raw_content" in batch.column_names:
+                # substitute the extracted raw URLs slot-for-slot: sel is
+                # ascending, so each parent's resource slots are a
+                # contiguous run in document order — the same order the
+                # streaming extractor emits
+                from .html_extract import extract_html_resources
+
+                contents = batch.column("raw_content").to_pylist()
+                uniq, starts_ = np.unique(sel_parent, return_index=True)
+                run_ends = np.append(starts_[1:], len(sel_parent))
+                for r, s0, s1 in zip(uniq, starts_, run_ends):
+                    ext = extract_html_resources(contents[int(r)])
+                    for i in range(min(len(ext), int(s1 - s0))):
+                        refs[s0 + i] = ext[i][1]
             bases = urls[sel_parent]
             canon, same = canonicalize_batch(refs, bases, self.strict,
                                              fallback=self.canon)
@@ -123,6 +146,8 @@ class ParseStage:
         span_canon = pa.ListArray.from_arrays(
             pa.array(soff), pa.array(list(flat_canon), pa.string()))
 
+        if "raw_content" in batch.column_names:
+            batch = batch.drop_columns(["raw_content"])   # consumed here
         out = batch.append_column("children", children)
         out = out.append_column("span_canon", span_canon)
         return out.append_column("n_children", pa.array(n_children))

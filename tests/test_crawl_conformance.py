@@ -52,6 +52,38 @@ class TestConformance:
                        result.visit_order.column("kind").to_pylist()))
         assert got == oracle.visit_order
 
+    def test_parse_html_mode_identical_t1(self, t1_corpus):
+        """parse_html=True routes out-edges through the REAL HTML
+        extractor (render -> extract over raw bytes) instead of corpus
+        span metadata; the crawl must be byte-identical in both modes."""
+        base = Crawler(t1_corpus, CrawlConfig(snapshot_seen=True,
+                                              max_count=50))
+        r_base = base.run([seed_url(0)])
+        base.shutdown()
+        html = Crawler(t1_corpus, CrawlConfig(snapshot_seen=True,
+                                              max_count=50,
+                                              parse_html=True))
+        r_html = html.run([seed_url(0)])
+        html.shutdown()
+        assert r_base.visit_order.equals(r_html.visit_order)
+        assert r_base.seen == r_html.seen
+        assert r_base.pages_queued == r_html.pages_queued
+
+    def test_parse_html_mode_identical_t2(self):
+        import pyarrow.parquet as pq
+
+        from go_crawler_ray.sources.corpus import ensure_corpus
+
+        tbl = pq.read_table(ensure_corpus("t2"))
+        out = []
+        for flag in (False, True):
+            c = Crawler(tbl, CrawlConfig(snapshot_seen=True, max_count=120,
+                                         parse_html=flag))
+            out.append(c.run([seed_url(0)]))
+            c.shutdown()
+        assert out[0].visit_order.equals(out[1].visit_order)
+        assert out[0].seen == out[1].seen
+
     def test_docs_span_sequence_equality(self, unit_corpus):
         """Per-row invariant: (kind, text, media_ref, order) equality."""
         oracle, result, crawler = run_both(unit_corpus, seed_url(0), 10_000)

@@ -83,6 +83,26 @@ class TestPoliteness:
         for r in got.metrics["rounds"]:
             assert r["frontier"] <= 3             # single host -> cap = 3/round
 
+    def test_politeness_sort_shuffle_path_identical(self, t1_corpus):
+        """Forcing the Ray sort-shuffle path (tiny driver_sort_threshold)
+        must produce the SAME crawl as the driver lexsort path — the
+        distributed groupby(host) admission is semantics-identical to the
+        vectorized apply_host_tokens kernel."""
+        seed = seed_url(0)
+        results = []
+        for thresh in (2_000_000, 1):
+            c = Crawler(t1_corpus, CrawlConfig(
+                snapshot_seen=True, max_count=30,
+                politeness_max_per_host=4, driver_sort_threshold=thresh))
+            results.append(c.run([seed]))
+            c.shutdown()
+        a, b = results
+        assert a.visit_order.equals(b.visit_order)
+        assert a.seen == b.seen
+        assert a.rounds == b.rounds
+        assert (a.metrics["deferred_total"]
+                == b.metrics["deferred_total"] > 0)
+
     def test_robots_blocks_disallowed_prefix(self, t1_corpus):
         """Corpus plants robots.txt with 'Disallow: /dir0/' on h0."""
         c = Crawler(t1_corpus, CrawlConfig(snapshot_seen=True, max_count=10_000, robots=True))
