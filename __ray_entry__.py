@@ -12,10 +12,10 @@ nothing here (nor in the library) initialises or shuts down Ray.
   (pipelines/crawl_oracle.py); MinHash clusters by exact-Jaccard graph
   components; winnowing by an independent SQL reimplementation of the
   rolling-hash kernel; the SimHash Hamming join by a brute-force
-  bit_count(xor) self-join over a signatures sidecar. Still rows-only:
+  bit_count(xor) self-join over a signatures sidecar; langid by the
+  profile set-intersection expressed in SQL. Still rows-only:
   crawl_metrics (wall times), SimHash signatures (crc-kernel-specific),
-  LSH/IVF top-k (approximate by design), langid (heuristic),
-  multimodal_features (byte-histogram kernel).
+  LSH/IVF top-k (approximate by design).
 """
 
 from __future__ import annotations
@@ -63,7 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_token_count": _text.token_count,
         "text_quality": _text.quality_scores,
         "text_fingerprint": _text.fingerprint,
-        "text_langid": _text.langid,                        # rows-only
+        "text_langid": _text.langid,
         "text_curation": _text.curate,
         "text_winnow_fp": _text.winnow_fingerprints,
         # --- dedup family ---
@@ -80,7 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- multimodal ---
         "multimodal_media_meta": _mm.media_metadata,
         "multimodal_resize": _mm.media_resize,
-        "multimodal_features": _mm.media_features,          # rows-only
+        "multimodal_features": _mm.media_features,
         "multimodal_frames": _mm.media_frames,
     }
 
@@ -268,6 +268,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ',"
             " 'g'))) AS fp FROM documents ORDER BY doc_id"),
         "text_winnow_fp": _winnow_sql(),
+        # langid heuristic is pure set-intersection counts over fixed
+        # profiles with first-wins tie-break — directly SQL-expressible
+        "text_langid": (
+            "WITH t AS (SELECT doc_id, list_distinct(list_transform("
+            "regexp_extract_all(text, '[a-zA-Z]+'), w -> lower(w))) AS ws "
+            "FROM documents), "
+            "h AS (SELECT doc_id, "
+            "len(list_intersect(ws, ['the','and','of','to','a'])) AS en, "
+            "len(list_intersect(ws, ['el','la','de','que','y'])) AS es, "
+            "len(list_intersect(ws, ['der','die','und','das','ist'])) AS de, "
+            "len(list_intersect(ws, ['le','la','et','les','des'])) AS fr "
+            "FROM t) "
+            "SELECT doc_id, CASE WHEN greatest(en, es, de, fr) = 0 THEN 'zh' "
+            "WHEN en = greatest(en, es, de, fr) THEN 'en' "
+            "WHEN es = greatest(en, es, de, fr) THEN 'es' "
+            "WHEN de = greatest(en, es, de, fr) THEN 'de' "
+            "ELSE 'fr' END AS lang_pred FROM h ORDER BY doc_id"),
         # the driver compares at sf0.01; the pair query writes its
         # signature sidecar for that sf_dir before returning
         "dedup_simhash_pairs": _simhash_pairs_sql("/root/testdata/sf0.01"),
@@ -361,6 +378,17 @@ def oracle_sql() -> dict[str, str]:
             "CAST(12 + LEAST(octet_length(encode(text)), "
             "GREATEST(1, octet_length(encode(text)) // 4)) AS BIGINT) "
             "AS thumb_bytes FROM documents ORDER BY doc_id"),
+        "multimodal_features": (
+            "WITH byt AS (SELECT doc_id, "
+            "CASE WHEN length(text) = 0 THEN 1 ELSE length(text) END AS tot, "
+            "list_transform(range(1, length(text) + 1), "
+            "i -> unicode(substring(text, i, 1)) // 32) AS bins "
+            "FROM documents) "
+            "SELECT doc_id, CAST(b AS BIGINT) AS bin, "
+            "ROUND(CAST(len(list_filter(bins, x -> x = b)) AS DOUBLE) "
+            "/ tot, 6) AS value "
+            "FROM byt CROSS JOIN generate_series(0, 7) AS g(b) "
+            "ORDER BY doc_id, bin"),
         "multimodal_frames": (
             "SELECT doc_id, CAST(i AS BIGINT) AS frame_idx, "
             "CAST(CASE WHEN b = 0 THEN 0 ELSE b // k END AS BIGINT) "

@@ -351,7 +351,10 @@ class Crawler:
             hosts = pa.array(hl, pa.string())
         cand = pa.table({
             "url": urls,
-            "kind": pa.array(np.full(n, "page", dtype=object)),
+            # pa.repeat builds the constant column at C speed — a
+            # 432k-element Python-object array measured ~0.5 s of the
+            # seed-push serial floor
+            "kind": pa.repeat(pa.scalar("page"), n),
             "parent_seq": pa.array(np.full(n, -1, dtype=np.int64)),
             "position": pa.array(np.arange(n, dtype=np.int32)),
             "depth": pa.array(np.zeros(n, dtype=np.int32)),

@@ -157,12 +157,15 @@ class FeatureStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         import numpy as np
 
+        from ..functions.compat import round_half_away
+
         feats = []
         for p in batch["payload"].to_pylist():
             body = np.frombuffer(p[12:], dtype=np.uint8)
             hist = np.bincount(body >> 5, minlength=8).astype(np.float64)
             total = hist.sum() or 1.0
-            feats.append((hist / total).round(6).tolist())
+            # half-away rounding so the SQL oracle's ROUND matches
+            feats.append(round_half_away(hist / total, 6).tolist())
         return pa.table({
             "doc_id": batch["doc_id"],
             "features": pa.array(feats, pa.list_(pa.float64())),
@@ -170,10 +173,24 @@ class FeatureStage:
 
 
 def media_features(sf_dir: str) -> pd.DataFrame:
+    """(doc_id, bin, value): the 8-bin features EXPLODED to scalar rows —
+    list<float> columns don't compare portably across the SQL oracle
+    boundary, so the operator keeps its embedding-shaped list output
+    (FeatureStage) and the query surface flattens it (a driver reshape of
+    the N x 8 result, not a distributed step)."""
+    import numpy as np
+
     ds = build_media_table(sf_dir)
     out = ds.map_batches(FeatureStage, batch_format="pyarrow",
                          concurrency=auto_pool(), batch_size=256).to_pandas()
-    return out.sort_values("doc_id").reset_index(drop=True)
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    feats = np.stack(out["features"].to_numpy())
+    n, b = feats.shape
+    return pd.DataFrame({
+        "doc_id": np.repeat(out["doc_id"].to_numpy().astype("int64"), b),
+        "bin": np.tile(np.arange(b, dtype="int64"), n),
+        "value": feats.ravel(),
+    })
 
 
 class FrameSampleStage:

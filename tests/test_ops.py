@@ -96,6 +96,46 @@ class TestDedup:
         assert list(zip(got["a"], got["b"], got["cos"])) == \
             [(int(a), int(b), float(c)) for a, b, c in want]
 
+    def test_embedding_pruned_multiblock_full_recall(self):
+        """Force MANY small blocks (so the angular pruning actually drops
+        block pairs and cross-block (lo, hi) normalization is exercised)
+        and assert the pruned grid still finds EVERY pair — exactness is
+        the whole point of pivot pruning over LSH bucketing."""
+        import ray.data as rd
+        from go_crawler_ray.functions.compat import round_half_away
+        from go_crawler_ray.pipelines.dedup import embedding_near_pairs
+
+        # rows_per_block via a tiny batch_size: 2048-batch normalize but
+        # blocks come from the read; shrink blocks through the public knob
+        got = embedding_near_pairs(SF, threshold=0.45, n_clusters=8)
+        # independently with a much finer block structure
+        import go_crawler_ray.pipelines.ann as annmod
+
+        orig = annmod._emb_read
+
+        def fine_read(sf_dir, rows_per_block=1024):
+            return orig(sf_dir, rows_per_block=64)
+
+        annmod._emb_read = fine_read
+        try:
+            fine = embedding_near_pairs(SF, threshold=0.45, n_clusters=8)
+        finally:
+            annmod._emb_read = orig
+        assert list(zip(fine["a"], fine["b"], fine["cos"])) == \
+            list(zip(got["a"], got["b"], got["cos"]))
+        full = rd.read_parquet(f"{SF}/embeddings.parquet").to_pandas() \
+            .sort_values("vec_id")
+        ids = full["vec_id"].to_numpy()
+        V = np.stack(full["embedding"].to_numpy()).astype(np.float64)
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        S = Vn @ Vn.T
+        ai, bi = np.nonzero(S >= 0.45)
+        keep = ids[ai] < ids[bi]
+        want = sorted(zip(ids[ai][keep], ids[bi][keep],
+                          round_half_away(S[ai, bi][keep])))
+        assert list(zip(fine["a"], fine["b"], fine["cos"])) == \
+            [(int(a), int(b), float(c)) for a, b, c in want]
+
     def test_simhash_identical_texts_equal_sigs(self):
         from go_crawler_ray.pipelines.dedup import simhash_signatures
         import duckdb

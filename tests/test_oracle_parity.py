@@ -63,11 +63,12 @@ ORACLE_KEYS = [
     "distinct_event_types", "high_value_lineitems", "hourly_event_stats",
     "sliding_event_stats", "top_orders_per_segment",
     "user_sessions", "text_token_count", "text_quality", "text_fingerprint",
-    "text_curation", "text_winnow_fp",
+    "text_curation", "text_winnow_fp", "text_langid",
     "dedup_exact", "dedup_embedding_cosine", "dedup_ngram_jaccard",
     "dedup_minhash_clusters", "dedup_simhash_pairs",
     "ann_brute_force_topk",
     "multimodal_media_meta", "multimodal_resize", "multimodal_frames",
+    "multimodal_features",
 ]
 
 
