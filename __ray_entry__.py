@@ -47,6 +47,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_span_stats": _cq.span_stats,
         "crawl_bfs_visit_order": _cq.bfs_visit_order,
         "crawl_docs_out": _cq.crawl_docs_out,
+        "crawl_docs_out_html": _cq.crawl_docs_out_html,
         "crawl_seen_set": _cq.crawl_seen_set,
         "crawl_metrics": _cq.crawl_metrics,                 # rows-only (wall times)
         # --- relational core ---
@@ -182,6 +183,11 @@ def oracle_sql() -> dict[str, str]:
             corpus, seed, CRAWL_BUDGET),
         "crawl_seen_set": _co.seen_set_sql(corpus, seed, CRAWL_BUDGET),
         "crawl_docs_out": _co.docs_out_sql(corpus, seed, CRAWL_BUDGET),
+        # parse_html mode is byte-identical to the metadata path (the
+        # hash-verified render->extract round-trip), so it shares the
+        # same recursive-CTE oracle — the integrated HTML-parsing crawl
+        # sits behind the hash gate, not just the standalone extractor
+        "crawl_docs_out_html": _co.docs_out_sql(corpus, seed, CRAWL_BUDGET),
         "crawl_spans_flatten": f"{flat} ORDER BY doc_id, \"offset\"",
         "crawl_extract_resources": (
             f"SELECT doc_id, kind, split_part(media_ref, '#', 1) AS ref_nofrag,"

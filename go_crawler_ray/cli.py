@@ -66,6 +66,7 @@ class CliConfig:
     num_seen_shards: int
     checkpoint_dir: str
     write_tree: bool
+    parse_html: bool
 
 
 def load_config(argv: list[str] | None = None) -> CliConfig:
@@ -108,6 +109,10 @@ def load_config(argv: list[str] | None = None) -> CliConfig:
                         "(unit/t1/t2/bench) for the synthetic corpus")
     p.add_argument("--write-tree", action="store_true",
                    help="also write the localized file tree (S4 sink)")
+    p.add_argument("--parse-html", action="store_true",
+                   default=_env_str("CRAWLER_PARSE_HTML", "") == "1",
+                   help="extract out-edges from raw HTML bytes with the "
+                        "real parser instead of corpus span metadata")
     a = p.parse_args(argv)
 
     if not a.url:
@@ -123,6 +128,7 @@ def load_config(argv: list[str] | None = None) -> CliConfig:
         politeness_max_per_host=a.politeness_max_per_host,
         robots=a.robots, num_seen_shards=a.num_seen_shards,
         checkpoint_dir=a.checkpoint_dir, write_tree=a.write_tree,
+        parse_html=a.parse_html,
     )
     cfg.corpus = a.corpus  # type: ignore[attr-defined]
     return cfg
@@ -161,6 +167,7 @@ def main(argv: list[str] | None = None) -> int:
         retry_attempts=cfg.retry_attempts,
         retry_delay=cfg.retry_delay,
         checkpoint_dir=ckpt,
+        parse_html=cfg.parse_html,
     ))
     result = crawler.run([cfg.url])
 

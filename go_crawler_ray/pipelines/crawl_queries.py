@@ -138,6 +138,31 @@ def crawl_docs_out(sf_dir: str) -> pa.Table:
     return out.sort_by([("doc_id", "ascending")])
 
 
+def crawl_docs_out_html(sf_dir: str) -> pa.Table:
+    """Same crawled-document summary but with ``parse_html=True`` — the
+    crawl's out-edges come from the REAL HTML extractor over raw page
+    bytes (fetch renders, parse extracts; reference path internal/
+    models.go:112-126 over pkg/htmlparser/parser.go:20-98) instead of
+    corpus span metadata. Byte-identical to crawl_docs_out by the
+    render→extract round-trip, so it shares that query's recursive-CTE
+    SQL oracle — putting the integrated HTML-parsing crawl itself behind
+    the hash-exact correctness gate."""
+    scale = scale_for_sf_dir(sf_dir)
+    key = (scale, CRAWL_BUDGET, "html")
+    hit = _CRAWL_CACHE.get(key)
+    if hit is None:
+        corpus = pq.read_table(ensure_corpus(scale))
+        crawler = Crawler(corpus, CrawlConfig(max_count=CRAWL_BUDGET,
+                                              parse_html=True))
+        crawler.run([seed_url(0)])
+        docs = crawler.docs_table()
+        crawler.shutdown()
+        hit = _CRAWL_CACHE[key] = docs
+    out = hit.select(["doc_id", "kind", "status", "skipped_on",
+                      "n_children", "save_path"])
+    return out.sort_by([("doc_id", "ascending")])
+
+
 def crawl_seen_set(sf_dir: str) -> pd.DataFrame:
     """Final URL-seen set (sorted) — includes budget-refused pages (D1)."""
     result, _ = _crawl(sf_dir)

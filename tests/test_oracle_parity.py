@@ -59,6 +59,7 @@ ORACLE_KEYS = [
     "crawl_spans_flatten", "crawl_extract_resources", "crawl_span_stats",
     "crawl_html_extract",
     "crawl_bfs_visit_order", "crawl_seen_set", "crawl_docs_out",
+    "crawl_docs_out_html",
     "pricing_summary", "segment_revenue", "top_orders",
     "distinct_event_types", "high_value_lineitems", "hourly_event_stats",
     "sliding_event_stats", "top_orders_per_segment",
