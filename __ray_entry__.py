@@ -11,11 +11,12 @@ nothing here (nor in the library) initialises or shuts down Ray.
   The budgeted BFS crawl itself is oracled by a recursive-CTE simulation
   (pipelines/crawl_oracle.py); MinHash clusters by exact-Jaccard graph
   components; winnowing by an independent SQL reimplementation of the
-  rolling-hash kernel; the SimHash Hamming join by a brute-force
-  bit_count(xor) self-join over a signatures sidecar; langid by the
-  profile set-intersection expressed in SQL. Still rows-only:
-  crawl_metrics (wall times), SimHash signatures (crc-kernel-specific),
-  LSH/IVF top-k (approximate by design).
+  rolling-hash kernel; SimHash signatures by an independent SQL
+  crc32+majority-vote reimplementation; the SimHash Hamming join by a
+  brute-force bit_count(xor) self-join over a signatures sidecar;
+  langid by the profile set-intersection expressed in SQL. Still
+  rows-only: crawl_metrics (wall times), LSH/IVF top-k (approximate
+  by design).
 """
 
 from __future__ import annotations
@@ -70,7 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- dedup family ---
         "dedup_exact": _dedup.exact_dedup,
         "dedup_minhash_clusters": _dedup.minhash_clusters,
-        "dedup_simhash": _dedup.simhash_signatures,         # rows-only
+        "dedup_simhash": _dedup.simhash_signatures,
         "dedup_simhash_pairs": _dedup.simhash_near_pairs,
         "dedup_ngram_jaccard": _dedup.ngram_jaccard_pairs,
         "dedup_embedding_cosine": _dedup.embedding_near_pairs,
@@ -164,6 +165,64 @@ def _simhash_pairs_sql(sf_dir: str, max_hamming: int = 3) -> str:
         f"JOIN read_parquet('{side}/*.parquet') b ON a.doc_id < b.doc_id "
         f"WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming} "
         f"ORDER BY a, b")
+
+
+def _simhash_sql() -> str:
+    """Independent SQL reimplementation of the simhash signature kernel
+    (pipelines/dedup.py:SimHashStage): whitespace tokens -> crc32 per
+    DISTINCT word (256-entry polynomial table embedded as a literal,
+    byte fold via list_reduce; documents are ASCII so
+    ``unicode(substring(...))`` IS the byte), 64-bit golden-ratio spread
+    in HUGEINT mod 2^64, per-bit majority vote weighted by token
+    multiplicity, two's-complement int64 signature. Validated
+    value-exact against the numpy kernel at sf0.01."""
+    tab = []
+    for n in range(256):
+        c = n
+        for _ in range(8):
+            c = 0xEDB88320 ^ (c >> 1) if c & 1 else c >> 1
+        tab.append(c)
+    tl = "[" + ",".join(str(x) for x in tab) + "]::BIGINT[]"
+    mul = 0x9E3779B97F4A7C15
+    m64 = 1 << 64
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+    unnest(string_split_regex(
+      regexp_replace(regexp_replace(text, '^\\s+', ''), '\\s+$', ''),
+      '\\s+')) AS tok
+  FROM documents),
+words AS (SELECT DISTINCT tok FROM toks),
+crc AS (
+  SELECT tok,
+    xor(4294967295::BIGINT, list_reduce(
+      list_prepend(4294967295::BIGINT,
+        list_transform(range(1, length(tok) + 1),
+          i -> unicode(substring(tok, i, 1))::BIGINT)),
+      (acc, b) -> xor(acc >> 8, ({tl})[(xor(acc, b) & 255) + 1])
+    )) AS c
+  FROM words),
+spread AS (
+  SELECT tok, (c::HUGEINT * {mul}::HUGEINT) % {m64}::HUGEINT AS h FROM crc),
+inst AS (
+  SELECT t.doc_id, s.h, count(*) AS cnt
+  FROM toks t JOIN spread s ON t.tok = s.tok
+  GROUP BY t.doc_id, s.h),
+votes AS (
+  SELECT doc_id, j,
+    sum(cnt * (2 * (((h // (1::HUGEINT << j)) % 2)::BIGINT) - 1)) AS v
+  FROM inst CROSS JOIN range(0, 64) r(j)
+  GROUP BY doc_id, j),
+sig AS (
+  SELECT doc_id,
+    list_sum(list(CASE WHEN v > 0 THEN (1::HUGEINT << j)
+                  ELSE 0::HUGEINT END)) AS s
+  FROM votes GROUP BY doc_id)
+SELECT doc_id,
+  CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
+       THEN s - 18446744073709551616::HUGEINT ELSE s END AS BIGINT)
+    AS simhash
+FROM sig ORDER BY doc_id"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -294,6 +353,10 @@ def oracle_sql() -> dict[str, str]:
         # the driver compares at sf0.01; the pair query writes its
         # signature sidecar for that sf_dir before returning
         "dedup_simhash_pairs": _simhash_pairs_sql("/root/testdata/sf0.01"),
+        # independent SQL crc32+vote reimplementation of the signature
+        # kernel — with this, the pairs oracle's sidecar is no longer
+        # self-referential on the signatures
+        "dedup_simhash": _simhash_sql(),
         # composite curation: quality filter -> exact dedup (min doc_id
         # per 3-token key) -> token count for survivors
         "text_curation": (

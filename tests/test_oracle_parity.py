@@ -66,7 +66,7 @@ ORACLE_KEYS = [
     "user_sessions", "text_token_count", "text_quality", "text_fingerprint",
     "text_curation", "text_winnow_fp", "text_langid",
     "dedup_exact", "dedup_embedding_cosine", "dedup_ngram_jaccard",
-    "dedup_minhash_clusters", "dedup_simhash_pairs",
+    "dedup_minhash_clusters", "dedup_simhash_pairs", "dedup_simhash",
     "ann_brute_force_topk",
     "multimodal_media_meta", "multimodal_resize", "multimodal_frames",
     "multimodal_features",
