@@ -25,10 +25,28 @@ import sys
 import time
 
 
+def host_probe() -> float:
+    """Effective memory-copy bandwidth (MB/s) of a fixed 32 MB numpy
+    copy, measured immediately before the timed runs. This host has
+    noisy-neighbor phases where copy bandwidth drops 30-50x while
+    compute-bound work is unaffected (see BASELINE.md §host noise);
+    the probe lets any recorded run be read against the host state it
+    ran under. Quiet ≈ 2,000-10,000 MB/s; loud windows measure < 200."""
+    import numpy as np
+
+    a = np.zeros((2000, 2000))          # 32 MB
+    t0 = time.perf_counter()
+    b = a.copy()
+    dt = time.perf_counter() - t0
+    del b
+    return round(64 / dt, 1)            # 32 MB read + 32 MB write
+
+
 def run_bench() -> dict:
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     only = os.environ.get("BENCH_ONLY", "")
+    probe = host_probe()
 
     import ray
 
@@ -153,6 +171,7 @@ def run_bench() -> dict:
         "num_cpus": num_cpus,
         "urls": urls,
         "urls_per_sec": urls_per_sec,
+        "host_probe_mb_s": probe,
     }
     ray.shutdown()
     return out
@@ -231,6 +250,10 @@ def run_scaling() -> dict:
         "all_pairs": [round(p[0], 3) for p in pairs],
         "bracket_spreads": [round(p[3], 3) for p in pairs],
         "valid_pairs": [round(p[0], 3) for p in valid],
+        # per-pair (N-run, 4N-run) host memory-bandwidth probes, MB/s —
+        # reads loud windows directly (quiet ≈ thousands, loud < 200)
+        "probes": [[p[1].get("host_probe_mb_s"),
+                    p[2].get("host_probe_mb_s")] for p in pairs],
     }
 
 
