@@ -106,3 +106,33 @@ def test_rows_only_queries_run(entrymod):
 def test_entry_smoke(entrymod):
     out = to_pandas(entrymod.entry())
     assert len(out) >= 0 and out.shape[1] >= 1
+
+
+def test_simhash_sql_oracle_edge_cases():
+    """The independent SQL crc32+vote reimplementation must agree with
+    the numpy kernel on tokenizer edge cases (multi-space runs, leading/
+    trailing whitespace incl. tabs/newlines, repeated words — the vote
+    is multiplicity-weighted — and single-char tokens). Hermetic: plain
+    kernel call + DuckDB, no Ray."""
+    import __ray_entry__ as e
+    from go_crawler_ray.pipelines.dedup import SimHashStage
+
+    docs = pd.DataFrame({
+        "doc_id": pd.array(range(6), dtype="int64"),
+        "text": [
+            "plain words here",
+            "  leading and   multi  space runs  ",
+            "\t tabs\nand\nnewlines \r\n mixed \t",
+            "dup dup dup dup unique",          # multiplicity matters
+            "a b c d e f g",                   # single-char tokens
+            "x",                               # one token
+        ],
+    })
+    expected = SimHashStage()(docs)
+    con = duckdb.connect()
+    con.register("documents", docs)
+    got = con.sql(e._simhash_sql()).df()
+    pd.testing.assert_frame_equal(
+        got.sort_values("doc_id").reset_index(drop=True),
+        expected.sort_values("doc_id").reset_index(drop=True),
+        check_dtype=False)
