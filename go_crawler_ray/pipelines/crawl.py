@@ -570,8 +570,8 @@ class Crawler:
                 _FetchFn(self.corpus_ref, cfg), batch_format="pyarrow",
                 batch_size=batch_rows, concurrency=cfg.fetch_concurrency)
             ds = ds.map_batches(
-                _ParseFn(cfg.strict_rfc3986), batch_format="pyarrow",
-                batch_size=batch_rows)
+                _ParseFn(cfg.strict_rfc3986, cfg.parse_html),
+                batch_format="pyarrow", batch_size=batch_rows)
             if cfg.write_docs:
                 ds = ds.map_batches(
                     _SaveFn(cfg.strict_rfc3986, cfg.localize,

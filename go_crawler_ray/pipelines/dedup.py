@@ -404,10 +404,16 @@ def minhash_clusters(sf_dir: str, threshold: float = 0.8,
 
     labels: dict[int, int] = {}
     if pairs_ds.count():
-        need = set()
-        for tbl in ray.get(pairs_ds.to_arrow_refs()):
-            need.update(tbl.column("a").to_pylist())
-            need.update(tbl.column("b").to_pylist())
+        # candidate ids, deduped BLOCK-SIDE so the driver receives
+        # O(unique ids), never the O(pairs) tables themselves
+        def block_ids(tbl: pa.Table) -> pd.DataFrame:
+            u = np.unique(np.concatenate([
+                tbl.column("a").to_numpy(zero_copy_only=False),
+                tbl.column("b").to_numpy(zero_copy_only=False)]))
+            return pd.DataFrame({"doc_id": u.astype("int64")})
+
+        need = set(pairs_ds.map_batches(block_ids, batch_format="pyarrow")
+                   .to_pandas()["doc_id"].astype(int))
         verified = _verify_pairs_ds(pairs_ds, sf_dir, need,
                                     threshold).materialize()
         if verified.count():

@@ -99,7 +99,15 @@ class ParseStage:
                 run_ends = np.append(starts_[1:], len(sel_parent))
                 for r, s0, s1 in zip(uniq, starts_, run_ends):
                     ext = extract_html_resources(contents[int(r)])
-                    for i in range(min(len(ext), int(s1 - s0))):
+                    if len(ext) != int(s1 - s0):
+                        # the mode exists to DETECT render→extract
+                        # divergence — a count mismatch must surface,
+                        # not silently blend extracted and metadata refs
+                        raise ValueError(
+                            f"parse_html: extractor returned {len(ext)} "
+                            f"resources for page '{urls[int(r)]}' but the "
+                            f"corpus has {int(s1 - s0)} resource spans")
+                    for i in range(int(s1 - s0)):
                         refs[s0 + i] = ext[i][1]
             bases = urls[sel_parent]
             canon, same = canonicalize_batch(refs, bases, self.strict,
