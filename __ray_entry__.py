@@ -21,6 +21,7 @@ nothing here (nor in the library) initialises or shuts down Ray.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
@@ -31,6 +32,12 @@ from go_crawler_ray.pipelines import multimodal as _mm
 from go_crawler_ray.pipelines import relational as _rel
 from go_crawler_ray.pipelines import textproc as _text
 from go_crawler_ray.sources.corpus import ensure_corpus
+
+# The driver runs oracle_sql() against the sf0.01 tables; the one oracle
+# that needs a filesystem path (the simhash sidecar) must point at the
+# same corpus. Override via env if the harness ever compares elsewhere.
+_ORACLE_SF_DIR = os.environ.get("GRAFT_ORACLE_SF_DIR",
+                                "/root/testdata/sf0.01")
 
 
 def entry() -> Any:
@@ -350,9 +357,9 @@ def oracle_sql() -> dict[str, str]:
             "WHEN es = greatest(en, es, de, fr) THEN 'es' "
             "WHEN de = greatest(en, es, de, fr) THEN 'de' "
             "ELSE 'fr' END AS lang_pred FROM h ORDER BY doc_id"),
-        # the driver compares at sf0.01; the pair query writes its
-        # signature sidecar for that sf_dir before returning
-        "dedup_simhash_pairs": _simhash_pairs_sql("/root/testdata/sf0.01"),
+        # the driver compares at _ORACLE_SF_DIR; the pair query writes
+        # its signature sidecar for that sf_dir before returning
+        "dedup_simhash_pairs": _simhash_pairs_sql(_ORACLE_SF_DIR),
         # independent SQL crc32+vote reimplementation of the signature
         # kernel — with this, the pairs oracle's sidecar is no longer
         # self-referential on the signatures

@@ -29,6 +29,18 @@ def cluster_cpus() -> int:
     return os.cpu_count() or 4
 
 
+def blocks_for(n_rows: int, rows_per_block: int) -> int:
+    """Data-proportional block count, capped at 4x cluster CPUs.
+
+    Ray's default parquet split (2x cluster CPUs) splinters a small table
+    into sub-100-row blocks whose per-task overhead dominates; targeting
+    ``rows_per_block`` scales the split with BOTH the data and the
+    cluster. Shared by every pipeline that overrides the read split.
+    """
+    nb = n_rows // rows_per_block + 1
+    return int(min(max(nb, 2), 4 * cluster_cpus()))
+
+
 def auto_pool(frac: float = 1.0, lo: int = 2,
               cap: int | None = None) -> tuple[int, int]:
     """(min, max) actor-pool size: ``max`` = ``frac`` of cluster CPUs.

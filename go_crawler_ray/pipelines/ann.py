@@ -27,10 +27,10 @@ def _emb_read(sf_dir: str, rows_per_block: int = 1024) -> rd.Dataset:
     overhead dominates the matmuls)."""
     import pyarrow.parquet as _pq
 
-    from ..functions.pool import cluster_cpus
+    from ..functions.pool import blocks_for
 
     n = _pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
-    nb = int(min(max(n // rows_per_block + 1, 2), 4 * cluster_cpus()))
+    nb = blocks_for(n, rows_per_block)
     return rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                            columns=["vec_id", "embedding"],
                            override_num_blocks=nb)

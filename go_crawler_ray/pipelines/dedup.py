@@ -64,16 +64,27 @@ def _read_docs(sf_dir: str, columns: list[str],
 
 
 def _docs_blocks(sf_dir: str, rows_per_block: int = 512) -> int:
-    """Block count targeting ``rows_per_block`` docs per block, capped at
-    4x cluster CPUs — scales with BOTH the data and the cluster, unlike
-    the 2x-CPU default that splinters small corpora into sub-100-row
-    blocks."""
+    """Block count for the documents table (see functions.pool.blocks_for)."""
     import pyarrow.parquet as _pq
 
-    from ..functions.pool import cluster_cpus
+    from ..functions.pool import blocks_for
 
     n = _pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
-    return int(np.clip(n // rows_per_block + 1, 2, 4 * cluster_cpus()))
+    return blocks_for(n, rows_per_block)
+
+
+def _pair_ids(pairs_ds: rd.Dataset) -> set[int]:
+    """Unique doc ids across an (a, b) pair dataset, deduped BLOCK-SIDE so
+    the driver receives O(unique ids) — never the O(pairs) tables."""
+
+    def block_ids(tbl: pa.Table) -> pd.DataFrame:
+        u = np.unique(np.concatenate([
+            tbl.column("a").to_numpy(zero_copy_only=False),
+            tbl.column("b").to_numpy(zero_copy_only=False)]))
+        return pd.DataFrame({"doc_id": u.astype("int64")})
+
+    return set(pairs_ds.map_batches(block_ids, batch_format="pyarrow")
+               .to_pandas()["doc_id"].astype(int))
 
 
 # ---------------------------------------------------------------------------
@@ -257,32 +268,43 @@ def _candidate_pairs_ds(ds: rd.Dataset, distinct: bool = True) -> rd.Dataset:
     return out
 
 
+@ray.remote
+def _shingle_map(sf_dir: str, need: np.ndarray, shingle_k: int,
+                 string_shingles: bool) -> dict:
+    """Point-read the candidate documents (pushed-down parquet filter)
+    and shingle each ONCE; the result is broadcast via the object store
+    so verify actors share one copy per node instead of each re-reading
+    and re-shingling the whole candidate set."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+        filters=pc.field("doc_id").isin(need))
+    return {
+        int(d): (_string_shingles(t, shingle_k) if string_shingles
+                 else _shingles(t, shingle_k))
+        for d, t in zip(tbl.column("doc_id").to_pylist(),
+                        tbl.column("text").to_pylist())}
+
+
 def _verify_pairs_ds(pairs_ds: rd.Dataset, sf_dir: str, need_ids,
                      threshold: float, shingle_k: int = 3,
                      string_shingles: bool = False) -> rd.Dataset:
     """Exact-Jaccard verification as a map_batches stage over the pair
-    dataset. Each actor point-reads ONLY the candidate documents
-    (broadcast id set + pushed-down parquet filter) and shingles them
-    once in __init__ — the map-side analog of a lookup into partitioned
-    corpus storage; at 100 TB the filtered read becomes a
-    hash-partitioned point lookup (stages/fetch.PartitionedCorpusBackend
-    idiom). Shingle sets never touch the driver."""
-    need_ref = ray.put(np.array(sorted(need_ids), dtype=np.int64))
+    dataset. The LSH-bounded candidate set is read + shingled once in a
+    single task and broadcast (plasma-shared per node); shingle sets
+    never touch the driver. At 100 TB the single shingle task becomes
+    the bottleneck before the broadcast does — there, partition pairs by
+    hash(a) and give each verify shard a point lookup into partitioned
+    corpus storage (stages/fetch.PartitionedCorpusBackend idiom)."""
+    sh_ref = _shingle_map.remote(
+        sf_dir, np.array(sorted(need_ids), dtype=np.int64),
+        shingle_k, string_shingles)
 
     class VerifyJaccard:
         def __init__(self):
-            import pyarrow.compute as pc
-            import pyarrow.parquet as pq
-
-            need = ray.get(need_ref)
-            tbl = pq.read_table(
-                f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
-                filters=pc.field("doc_id").isin(need))
-            self.sh = {
-                int(d): (_string_shingles(t, shingle_k) if string_shingles
-                         else _shingles(t, shingle_k))
-                for d, t in zip(tbl.column("doc_id").to_pylist(),
-                                tbl.column("text").to_pylist())}
+            self.sh = ray.get(sh_ref)
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
             out_a, out_b, out_j = [], [], []
@@ -404,16 +426,7 @@ def minhash_clusters(sf_dir: str, threshold: float = 0.8,
 
     labels: dict[int, int] = {}
     if pairs_ds.count():
-        # candidate ids, deduped BLOCK-SIDE so the driver receives
-        # O(unique ids), never the O(pairs) tables themselves
-        def block_ids(tbl: pa.Table) -> pd.DataFrame:
-            u = np.unique(np.concatenate([
-                tbl.column("a").to_numpy(zero_copy_only=False),
-                tbl.column("b").to_numpy(zero_copy_only=False)]))
-            return pd.DataFrame({"doc_id": u.astype("int64")})
-
-        need = set(pairs_ds.map_batches(block_ids, batch_format="pyarrow")
-                   .to_pandas()["doc_id"].astype(int))
+        need = _pair_ids(pairs_ds)
         verified = _verify_pairs_ds(pairs_ds, sf_dir, need,
                                     threshold).materialize()
         if verified.count():
@@ -481,10 +494,16 @@ def simhash_sidecar_path(sf_dir: str) -> str:
     over these signatures — full recall is guaranteed by the 4x16 band
     pigeonhole), while the crc signature kernel itself stays pinned by
     the brute-force parity test."""
+    import hashlib
     import os
 
-    base = os.path.basename(os.path.normpath(sf_dir))
-    return f"/tmp/graft_sidecar/simhash_sigs_{base}"
+    norm = os.path.abspath(os.path.normpath(sf_dir))
+    base = os.path.basename(norm)
+    # key on the full path, not just the basename — two corpora at
+    # different paths with the same leaf name must not clobber each
+    # other's signatures (the oracle would silently join the wrong ones)
+    tag = hashlib.md5(norm.encode()).hexdigest()[:8]
+    return f"/tmp/graft_sidecar/simhash_sigs_{base}_{tag}"
 
 
 def simhash_near_pairs(sf_dir: str, max_hamming: int = 3,
@@ -628,10 +647,7 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5,
         return empty
     pairs_ds = pairs_ds.repartition(
         int(np.clip(n_pairs // 100_000 + 2, 2, 32))).materialize()
-    need = set()
-    for tbl in ray.get(pairs_ds.to_arrow_refs()):
-        need.update(tbl.column("a").to_pylist())
-        need.update(tbl.column("b").to_pylist())
+    need = _pair_ids(pairs_ds)
     out = _verify_pairs_ds(pairs_ds, sf_dir, need, threshold, shingle_k,
                            string_shingles=True).to_pandas()
     if out.empty:
@@ -649,6 +665,15 @@ def _block_angular_stats(tbl: pa.Table) -> tuple:
     if tbl.num_rows == 0:
         return None, -1.0
     V = np.stack(tbl.column("embedding").to_pylist())
+    # a zero-norm input vector normalizes to NaN; it can never satisfy
+    # the cosine threshold, but left in place it would poison the
+    # centroid/radius (NaN radius would drop the WHOLE block from the
+    # join) — bound the cap over the finite rows only
+    finite = np.isfinite(V).all(axis=1)
+    if not finite.all():
+        V = V[finite]
+        if not len(V):
+            return None, -1.0      # only degenerate rows: no pairs possible
     c = V.mean(axis=0)
     n = np.linalg.norm(c)
     if n < 1e-12:
@@ -692,6 +717,7 @@ def embedding_near_pairs(sf_dir: str, threshold: float = 0.45,
              .limit(n_train).to_pandas())
     T = np.stack(train["embedding"].to_numpy()).astype(np.float64)
     Tn = T / np.linalg.norm(T, axis=1, keepdims=True)
+    Tn = Tn[np.isfinite(Tn).all(axis=1)]   # zero-norm rows poison k-means
     rng = np.random.default_rng(seed)
     C = Tn[rng.choice(len(Tn), size=min(n_clusters, len(Tn)), replace=False)]
     for _ in range(8):

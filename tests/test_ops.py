@@ -136,6 +136,40 @@ class TestDedup:
         assert list(zip(fine["a"], fine["b"], fine["cos"])) == \
             [(int(a), int(b), float(c)) for a, b, c in want]
 
+    def test_embedding_zero_vector_does_not_drop_block(self):
+        """A zero-norm embedding normalizes to NaN; it must lose only its
+        OWN pairs — the finite vectors sharing its block must all survive
+        the 'exact' join (a NaN block radius used to drop the whole
+        block)."""
+        import tempfile
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from go_crawler_ray.pipelines.dedup import embedding_near_pairs
+
+        rng = np.random.default_rng(7)
+        base = rng.normal(size=(4, 16))
+        # 4 tight clusters of 5 near-identical vectors + one zero vector
+        V = np.concatenate([base[i] + 0.01 * rng.normal(size=(5, 16))
+                            for i in range(4)])
+        V = np.concatenate([V, np.zeros((1, 16))])
+        ids = np.arange(len(V), dtype=np.int64)
+        with tempfile.TemporaryDirectory() as d:
+            pq.write_table(pa.table({
+                "vec_id": ids,
+                "embedding": pa.array(list(V.astype(np.float64))),
+            }), f"{d}/embeddings.parquet")
+            got = embedding_near_pairs(d, threshold=0.9, n_clusters=2,
+                                       n_train=32)
+        Vn = V[:-1] / np.linalg.norm(V[:-1], axis=1, keepdims=True)
+        S = Vn @ Vn.T
+        ai, bi = np.nonzero(S >= 0.9)
+        keep = ids[:-1][ai] < ids[:-1][bi]
+        want = sorted(zip(ids[ai][keep], ids[bi][keep]))
+        assert list(zip(got["a"], got["b"])) == \
+            [(int(a), int(b)) for a, b in want]
+        assert len(want) >= 4 * 10      # every in-cluster pair survived
+
     def test_simhash_identical_texts_equal_sigs(self):
         from go_crawler_ray.pipelines.dedup import simhash_signatures
         import duckdb
