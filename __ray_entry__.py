@@ -30,6 +30,7 @@ from go_crawler_ray.pipelines import crawl_queries as _cq
 from go_crawler_ray.pipelines import dedup as _dedup
 from go_crawler_ray.pipelines import multimodal as _mm
 from go_crawler_ray.pipelines import relational as _rel
+from go_crawler_ray.pipelines import sampling as _sample
 from go_crawler_ray.pipelines import textproc as _text
 from go_crawler_ray.sources.corpus import ensure_corpus
 
@@ -91,6 +92,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_resize": _mm.media_resize,
         "multimodal_features": _mm.media_features,
         "multimodal_frames": _mm.media_frames,
+        # --- corpus census + sampling ---
+        "text_vocab_topk": _sample.vocab_topk,
+        "sample_docs": _sample.sample_docs,
     }
 
 
@@ -174,6 +178,27 @@ def _simhash_pairs_sql(sf_dir: str, max_hamming: int = 3) -> str:
         f"ORDER BY a, b")
 
 
+def _crc32_sql(col: str) -> str:
+    """SQL expression: crc32 of the ASCII string column ``col``, as
+    BIGINT — zlib.crc32-exact (256-entry polynomial table embedded as a
+    literal, byte fold via list_reduce; ``unicode(substring(...))`` IS
+    the byte for ASCII input). Shared by the simhash-signature oracle
+    and the deterministic-sampling oracle."""
+    tab = []
+    for n in range(256):
+        c = n
+        for _ in range(8):
+            c = 0xEDB88320 ^ (c >> 1) if c & 1 else c >> 1
+        tab.append(c)
+    tl = "[" + ",".join(str(x) for x in tab) + "]::BIGINT[]"
+    return (
+        f"xor(4294967295::BIGINT, list_reduce("
+        f"list_prepend(4294967295::BIGINT, "
+        f"list_transform(range(1, length({col}) + 1), "
+        f"i -> unicode(substring({col}, i, 1))::BIGINT)), "
+        f"(acc, b) -> xor(acc >> 8, ({tl})[(xor(acc, b) & 255) + 1])))")
+
+
 def _simhash_sql() -> str:
     """Independent SQL reimplementation of the simhash signature kernel
     (pipelines/dedup.py:SimHashStage): whitespace tokens -> crc32 per
@@ -183,13 +208,6 @@ def _simhash_sql() -> str:
     in HUGEINT mod 2^64, per-bit majority vote weighted by token
     multiplicity, two's-complement int64 signature. Validated
     value-exact against the numpy kernel at sf0.01."""
-    tab = []
-    for n in range(256):
-        c = n
-        for _ in range(8):
-            c = 0xEDB88320 ^ (c >> 1) if c & 1 else c >> 1
-        tab.append(c)
-    tl = "[" + ",".join(str(x) for x in tab) + "]::BIGINT[]"
     mul = 0x9E3779B97F4A7C15
     m64 = 1 << 64
     return f"""
@@ -201,13 +219,7 @@ WITH toks AS (
   FROM documents),
 words AS (SELECT DISTINCT tok FROM toks),
 crc AS (
-  SELECT tok,
-    xor(4294967295::BIGINT, list_reduce(
-      list_prepend(4294967295::BIGINT,
-        list_transform(range(1, length(tok) + 1),
-          i -> unicode(substring(tok, i, 1))::BIGINT)),
-      (acc, b) -> xor(acc >> 8, ({tl})[(xor(acc, b) & 255) + 1])
-    )) AS c
+  SELECT tok, {_crc32_sql("tok")} AS c
   FROM words),
 spread AS (
   SELECT tok, (c::HUGEINT * {mul}::HUGEINT) % {m64}::HUGEINT AS h FROM crc),
@@ -473,4 +485,18 @@ def oracle_sql() -> dict[str, str]:
             "LEAST(4, GREATEST(octet_length(encode(text)), 1)) AS k "
             "FROM documents) CROSS JOIN generate_series(0, 3) AS g(i) "
             "WHERE i < k ORDER BY doc_id, frame_idx"),
+        # global token census, (n desc, word asc) tie-break = the
+        # deterministic top-k cut
+        "text_vocab_topk": (
+            f"SELECT tok AS word, CAST(COUNT(*) AS BIGINT) AS n "
+            f"FROM (SELECT unnest({_TOKENS}) AS tok FROM documents) "
+            f"GROUP BY tok ORDER BY n DESC, word LIMIT 100"),
+        # deterministic 10% corpus sample keyed on crc32(doc_id text);
+        # the SQL crc is the independent reimplementation in _crc32_sql
+        "sample_docs": (
+            f"WITH s AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS ds "
+            f"FROM documents) "
+            f"SELECT doc_id, b AS bucket FROM (SELECT doc_id, "
+            f"{_crc32_sql('ds')} % 1000 AS b FROM s) "
+            f"WHERE b < 100 ORDER BY doc_id"),
     }

@@ -310,3 +310,39 @@ class TestSessionize:
         out = user_sessions(SF)
         assert (out["n_sessions"] >= 1).all()
         assert (out["n_sessions"] <= out["n_events"]).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSampling:
+    def test_vocab_topk_matches_pandas_census(self):
+        """Distributed partial-count vocab == a single-process census."""
+        import pandas as pd
+        import pyarrow.parquet as pq
+        from go_crawler_ray.pipelines.sampling import vocab_topk
+
+        got = vocab_topk(SF, k=10)
+        docs = pq.read_table(f"{SF}/documents.parquet",
+                             columns=["text"]).to_pandas()
+        vc = (docs["text"].str.strip().str.split(r"\s+", regex=True)
+              .explode().value_counts())
+        want = (pd.DataFrame({"word": vc.index, "n": vc.values})
+                .sort_values(["n", "word"], ascending=[False, True])
+                .head(10).reset_index(drop=True))
+        assert list(zip(got["word"], got["n"])) == \
+            [(w, int(n)) for w, n in zip(want["word"], want["n"])]
+
+    def test_sample_docs_matches_zlib_crc(self):
+        """Vectorized crc32 sampling == per-row zlib.crc32 decision."""
+        import zlib
+
+        import pyarrow.parquet as pq
+        from go_crawler_ray.pipelines.sampling import sample_docs
+
+        got = sample_docs(SF, permille=250)
+        ids = pq.read_table(f"{SF}/documents.parquet",
+                            columns=["doc_id"]).column("doc_id").to_pylist()
+        want = sorted((i, zlib.crc32(str(i).encode()) % 1000)
+                      for i in ids
+                      if zlib.crc32(str(i).encode()) % 1000 < 250)
+        assert list(zip(got["doc_id"], got["bucket"])) == want
+        assert 0 < len(want) < len(ids)
