@@ -145,6 +145,7 @@ def run_bench() -> dict:
         from go_crawler_ray.pipelines import ann as _ann
         from go_crawler_ray.pipelines import dedup as _dedup
         from go_crawler_ray.pipelines import relational as _rel
+        from go_crawler_ray.pipelines import sampling as _sample
         from go_crawler_ray.pipelines import textproc as _text
 
         for name, fn in [
@@ -153,6 +154,8 @@ def run_bench() -> dict:
             ("hourly_event_stats", _rel.hourly_event_stats),
             ("user_sessions", _rel.user_sessions),
             ("text_quality", _text.quality_scores),
+            ("text_vocab_topk", _sample.vocab_topk),
+            ("sample_docs", _sample.sample_docs),
             ("dedup_exact", _dedup.exact_dedup),
             ("dedup_minhash_clusters", _dedup.minhash_clusters),
             ("ann_brute_force_topk", _ann.brute_force_topk),
