@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- corpus census + sampling ---
         "text_vocab_topk": _sample.vocab_topk,
         "sample_docs": _sample.sample_docs,
+        "decontaminate": _sample.decontaminate,
     }
 
 
@@ -499,4 +500,15 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT doc_id, b AS bucket FROM (SELECT doc_id, "
             f"{_crc32_sql('ds')} % 1000 AS b FROM s) "
             f"WHERE b < 100 ORDER BY doc_id"),
+        # contamination = dedup-key join between the crc-bucket
+        # train/holdout split (holdout = top 100 permille)
+        "decontaminate": (
+            f"WITH s AS (SELECT doc_id, text, CAST(doc_id AS VARCHAR) "
+            f"AS ds FROM documents), "
+            f"f AS (SELECT doc_id, array_to_string(({_TOKENS})[1:3], ' ') "
+            f"AS fp, {_crc32_sql('ds')} % 1000 AS b "
+            f"FROM s) "
+            f"SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches "
+            f"FROM f t JOIN f h ON t.fp = h.fp AND t.b < 900 AND h.b >= 900 "
+            f"GROUP BY t.doc_id ORDER BY t.doc_id"),
     }

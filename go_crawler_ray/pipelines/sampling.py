@@ -80,3 +80,68 @@ def sample_docs(sf_dir: str, permille: int = 100) -> pd.DataFrame:
 
     out = ds.map_batches(keep, batch_format="pyarrow").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def decontaminate(sf_dir: str, holdout_permille: int = 100,
+                  key_words: int = 3) -> pd.DataFrame:
+    """Training/eval contamination check: which training docs collide
+    with the held-out eval slice on the dedup content key?
+
+    The corpus splits deterministically on the ``sample_docs`` crc32
+    bucket (top ``holdout_permille``/1000 = the eval side). Both sides
+    are keyed in ONE streaming pass (the first-``key_words``-token key
+    exact_dedup groups on; swap in n-gram shingles for published
+    benchmark decontamination — the plumbing is identical); the eval
+    side's key multiset is tiny by construction, so it is collected once
+    and broadcast — the training side then filters as a stateless map,
+    with NO shuffle join. At 100 TB the eval set is a benchmark suite
+    (KBs of keys broadcast to every task) while the training side
+    streams.
+
+    Returns (doc_id, n_matches) per CONTAMINATED training doc: how many
+    eval docs share its key. Ordered by doc_id.
+    """
+    from collections import Counter
+
+    import ray
+
+    cut = 1000 - holdout_permille
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def fps(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy().astype("int64")
+        h = crc32_many(pc.cast(pa.array(ids), pa.string()))
+        keys = (batch["text"].str.strip().str.split(_WS).str[:key_words]
+                .str.join(" "))
+        return pd.DataFrame({
+            "doc_id": ids,
+            "bucket": (h % np.uint32(1000)).astype("int64"),
+            "fp": keys,
+        })
+
+    slim = ds.map_batches(fps, batch_format="pandas").materialize()
+
+    def hold_fps(batch: pd.DataFrame) -> pd.DataFrame:
+        # fused filter+project: Ray's expr-filter -> Project pair leaks
+        # the unprojected schema through empty blocks
+        return batch.loc[batch["bucket"] >= cut, ["fp"]]
+
+    hold = slim.map_batches(hold_fps, batch_format="pandas").to_pandas()
+    hold_counts = ray.put(dict(Counter(hold["fp"])))
+
+    def contaminated(batch: pd.DataFrame) -> pd.DataFrame:
+        hc = ray.get(hold_counts)     # plasma-local after the first call
+        train = batch[batch["bucket"] < cut]
+        n = train["fp"].map(hc)
+        keep = n.notna()
+        return pd.DataFrame({
+            "doc_id": train["doc_id"][keep],
+            "n_matches": n[keep].astype("int64"),
+        })
+
+    out = slim.map_batches(contaminated, batch_format="pandas").to_pandas()
+    if "doc_id" not in out.columns:   # zero contaminated docs anywhere
+        out = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                            "n_matches": pd.Series(dtype="int64")})
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -346,3 +346,28 @@ class TestSampling:
                       if zlib.crc32(str(i).encode()) % 1000 < 250)
         assert list(zip(got["doc_id"], got["bucket"])) == want
         assert 0 < len(want) < len(ids)
+
+    def test_decontaminate_matches_reference_join(self):
+        """Broadcast semi-join contamination == a pure-python join on the
+        same key/bucket split; whole-doc keys find nothing at sf0.01
+        (no full-text dups) and must return an EMPTY typed frame."""
+        import zlib
+
+        import pyarrow.parquet as pq
+        from go_crawler_ray.pipelines.sampling import decontaminate
+
+        got = decontaminate(SF)
+        docs = pq.read_table(f"{SF}/documents.parquet",
+                             columns=["doc_id", "text"]).to_pandas()
+        key = (docs["text"].str.strip().str.split(r"\s+", regex=True)
+               .str[:3].str.join(" "))
+        b = docs["doc_id"].map(lambda i: zlib.crc32(str(i).encode()) % 1000)
+        hold = key[b >= 900].value_counts()
+        n = key[b < 900].map(hold)
+        want = sorted((int(d), int(m)) for d, m in
+                      zip(docs["doc_id"][b < 900][n.notna()], n.dropna()))
+        assert list(zip(got["doc_id"], got["n_matches"])) == want
+        assert len(want) > 0
+        empty = decontaminate(SF, key_words=10_000)
+        assert len(empty) == 0
+        assert list(empty.columns) == ["doc_id", "n_matches"]
