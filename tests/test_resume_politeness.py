@@ -122,3 +122,21 @@ class TestPoliteness:
         # and no /dir0/ page was actually fetched ok
         assert not any(u.startswith("https://h0.example/dir0/")
                        and v == ("ok", "") for u, v in by_status.items())
+
+    def test_resume_refuses_corrupt_checkpoint(self, t1_corpus, tmp_path):
+        """A round dir with manifest.json but no visit_delta.parquet is a
+        corrupt (or pre-delta-format) checkpoint: resume must raise, not
+        silently restart with an empty visit log (ADVICE r2)."""
+        import pytest as _pytest
+
+        ck = str(tmp_path / "ck")
+        c1 = Crawler(t1_corpus, CrawlConfig(max_count=60,
+                                            checkpoint_dir=ck))
+        c1.run([seed_url(0)], max_rounds=2)
+        c1.shutdown()
+        victim = os.path.join(ck, "round-00000", "visit_delta.parquet")
+        assert os.path.exists(victim)
+        os.remove(victim)
+        with _pytest.raises(FileNotFoundError, match="corrupt"):
+            Crawler.resume(t1_corpus, ck,
+                           CrawlConfig(max_count=60, checkpoint_dir=ck))
