@@ -97,10 +97,11 @@ def exact_dedup(sf_dir: str, key_words: int = 3) -> pd.DataFrame:
     of an exact dedup pass."""
     ds = _read_docs(sf_dir, ["doc_id", "text"], _docs_blocks(sf_dir))
 
+    from ..functions.textkeys import dedup_key
+
     def add_key(batch: pd.DataFrame) -> pd.DataFrame:
-        keys = (batch["text"].str.strip().str.split(_WS).str[:key_words]
-                .str.join(" "))
-        return pd.DataFrame({"dedup_key": keys, "doc_id": batch["doc_id"]})
+        return pd.DataFrame({"dedup_key": dedup_key(batch["text"], key_words),
+                             "doc_id": batch["doc_id"]})
 
     # native hash-shuffle aggregate: per-block partial min/count combine
     # before the exchange, and no per-group Python (a map_groups with a
@@ -292,10 +293,12 @@ def _verify_pairs_ds(pairs_ds: rd.Dataset, sf_dir: str, need_ids,
                      threshold: float, shingle_k: int = 3,
                      string_shingles: bool = False) -> rd.Dataset:
     """Exact-Jaccard verification as a map_batches stage over the pair
-    dataset. The LSH-bounded candidate set is read + shingled once in a
-    single task and broadcast (plasma-shared per node); shingle sets
-    never touch the driver. At 100 TB the single shingle task becomes
-    the bottleneck before the broadcast does — there, partition pairs by
+    dataset. The LSH-bounded candidate set is read + shingled ONCE in a
+    single task; verify actors fetch the result from the object store
+    (each actor still deserializes its own heap copy of the dict — the
+    refactor dedups the read+shingle CPU, not actor memory). Shingle
+    sets never touch the driver. At 100 TB the single shingle task and
+    the per-actor copies both stop scaling — there, partition pairs by
     hash(a) and give each verify shard a point lookup into partitioned
     corpus storage (stages/fetch.PartitionedCorpusBackend idiom)."""
     sh_ref = _shingle_map.remote(
@@ -718,17 +721,25 @@ def embedding_near_pairs(sf_dir: str, threshold: float = 0.45,
     T = np.stack(train["embedding"].to_numpy()).astype(np.float64)
     Tn = T / np.linalg.norm(T, axis=1, keepdims=True)
     Tn = Tn[np.isfinite(Tn).all(axis=1)]   # zero-norm rows poison k-means
-    rng = np.random.default_rng(seed)
-    C = Tn[rng.choice(len(Tn), size=min(n_clusters, len(Tn)), replace=False)]
-    for _ in range(8):
-        assign = np.argmax(Tn @ C.T, axis=1)
-        for c in range(len(C)):
-            m = assign == c
-            if m.any():
-                v = Tn[m].sum(axis=0)
-                n = np.linalg.norm(v)
-                if n > 0:
-                    C[c] = v / n
+    if not len(Tn):
+        # every sampled training vector degenerate: fall back to one
+        # arbitrary pivot — partitioning quality degrades (single
+        # cluster) but exactness never depended on the pivots
+        C = np.zeros((1, T.shape[1]))
+        C[0, 0] = 1.0
+    else:
+        rng = np.random.default_rng(seed)
+        C = Tn[rng.choice(len(Tn), size=min(n_clusters, len(Tn)),
+                          replace=False)]
+        for _ in range(8):
+            assign = np.argmax(Tn @ C.T, axis=1)
+            for c in range(len(C)):
+                m = assign == c
+                if m.any():
+                    v = Tn[m].sum(axis=0)
+                    n = np.linalg.norm(v)
+                    if n > 0:
+                        C[c] = v / n
     piv_ref = ray.put(C)
 
     class NormalizeAssign:

@@ -110,14 +110,14 @@ def decontaminate(sf_dir: str, holdout_permille: int = 100,
                          columns=["doc_id", "text"])
 
     def fps(batch: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.textkeys import dedup_key
+
         ids = batch["doc_id"].to_numpy().astype("int64")
         h = crc32_many(pc.cast(pa.array(ids), pa.string()))
-        keys = (batch["text"].str.strip().str.split(_WS).str[:key_words]
-                .str.join(" "))
         return pd.DataFrame({
             "doc_id": ids,
             "bucket": (h % np.uint32(1000)).astype("int64"),
-            "fp": keys,
+            "fp": dedup_key(batch["text"], key_words),
         })
 
     slim = ds.map_batches(fps, batch_format="pandas").materialize()
@@ -130,17 +130,24 @@ def decontaminate(sf_dir: str, holdout_permille: int = 100,
     hold = slim.map_batches(hold_fps, batch_format="pandas").to_pandas()
     hold_counts = ray.put(dict(Counter(hold["fp"])))
 
-    def contaminated(batch: pd.DataFrame) -> pd.DataFrame:
-        hc = ray.get(hold_counts)     # plasma-local after the first call
-        train = batch[batch["bucket"] < cut]
-        n = train["fp"].map(hc)
-        keep = n.notna()
-        return pd.DataFrame({
-            "doc_id": train["doc_id"][keep],
-            "n_matches": n[keep].astype("int64"),
-        })
+    class Contaminated:
+        def __init__(self):
+            # one dict deserialization per ACTOR, not per batch
+            self.hc = ray.get(hold_counts)
 
-    out = slim.map_batches(contaminated, batch_format="pandas").to_pandas()
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            train = batch[batch["bucket"] < cut]
+            n = train["fp"].map(self.hc)
+            keep = n.notna()
+            return pd.DataFrame({
+                "doc_id": train["doc_id"][keep],
+                "n_matches": n[keep].astype("int64"),
+            })
+
+    from ..functions.pool import auto_pool
+
+    out = slim.map_batches(Contaminated, batch_format="pandas",
+                           concurrency=auto_pool(frac=0.25)).to_pandas()
     if "doc_id" not in out.columns:   # zero contaminated docs anywhere
         out = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
                             "n_matches": pd.Series(dtype="int64")})

@@ -129,9 +129,11 @@ def curate(sf_dir: str, min_words: int = 5,
                ((stop_n / n_words) <= max_stopword_ratio)
         kept = batch[keep]
         kw = words[keep]
+        from ..functions.textkeys import dedup_key_from_tokens
+
         return pd.DataFrame({
             "doc_id": kept["doc_id"].astype("int64"),
-            "dedup_key": kw.str[:key_words].str.join(" "),
+            "dedup_key": dedup_key_from_tokens(kw, key_words),
             "n_tokens": kw.str.len().astype("int64"),
         })
 

@@ -371,3 +371,55 @@ class TestSampling:
         empty = decontaminate(SF, key_words=10_000)
         assert len(empty) == 0
         assert list(empty.columns) == ["doc_id", "n_matches"]
+
+    def test_textkeys_shared_kernel(self):
+        """decontaminate and exact_dedup key on the SAME kernel (shared
+        textkeys helper): every contaminated doc's key must be a key
+        exact_dedup counts more than one doc under... across the split."""
+        from go_crawler_ray.functions.textkeys import dedup_key
+        import pyarrow.parquet as pq
+
+        docs = pq.read_table(f"{SF}/documents.parquet",
+                             columns=["text"]).to_pandas()
+        k = dedup_key(docs["text"])
+        assert (k == docs["text"].str.strip().str.split(r"\s+", regex=True)
+                .str[:3].str.join(" ")).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDegeneratePivots:
+    def test_all_zero_training_sample_still_exact(self):
+        """If every vector in the seeded pivot-training sample is
+        zero-norm, embedding_near_pairs must fall back to a single pivot
+        and still return the exact pairs for the finite rows."""
+        import tempfile
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from go_crawler_ray.pipelines.dedup import embedding_near_pairs
+
+        rng = np.random.default_rng(11)
+        # first 32 rows (== n_train sample) all-zero, then 3 tight pairs
+        zeros = np.zeros((32, 8))
+        base = rng.normal(size=(3, 8))
+        fin = np.concatenate([base + 0.001 * rng.normal(size=(3, 8)),
+                              base])
+        V = np.concatenate([zeros, fin])
+        ids = np.arange(len(V), dtype=np.int64)
+        with tempfile.TemporaryDirectory() as d:
+            pq.write_table(pa.table({
+                "vec_id": ids,
+                "embedding": pa.array(list(V.astype(np.float64))),
+            }), f"{d}/embeddings.parquet")
+            got = embedding_near_pairs(d, threshold=0.95, n_clusters=4,
+                                       n_train=32)
+        Vf = V[32:]
+        Vn = Vf / np.linalg.norm(Vf, axis=1, keepdims=True)
+        S = Vn @ Vn.T
+        ai, bi = np.nonzero(S >= 0.95)
+        fid = ids[32:]
+        keep = fid[ai] < fid[bi]
+        want = sorted(zip(fid[ai][keep], fid[bi][keep]))
+        assert list(zip(got["a"], got["b"])) == \
+            [(int(a), int(b)) for a, b in want]
+        assert len(want) >= 3
