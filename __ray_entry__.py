@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_vocab_topk": _sample.vocab_topk,
         "sample_docs": _sample.sample_docs,
         "decontaminate": _sample.decontaminate,
+        "epoch_shuffle": _sample.epoch_shuffle,
     }
 
 
@@ -511,4 +512,12 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches "
             f"FROM f t JOIN f h ON t.fp = h.fp AND t.b < 900 AND h.b >= 900 "
             f"GROUP BY t.doc_id ORDER BY t.doc_id"),
+        # epoch-0 deterministic global shuffle: rank = sort order of
+        # crc32('doc_id:0'), ties by doc_id
+        "epoch_shuffle": (
+            f"WITH s AS (SELECT doc_id, CAST(doc_id AS VARCHAR) || ':0' "
+            f"AS ds FROM documents), "
+            f"k AS (SELECT doc_id, {_crc32_sql('ds')} AS key FROM s) "
+            f"SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY key, doc_id) "
+            f"- 1 AS BIGINT) AS shuffle_rank FROM k ORDER BY doc_id"),
     }

@@ -82,6 +82,72 @@ def sample_docs(sf_dir: str, permille: int = 100) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def epoch_shuffle(sf_dir: str, epoch: int = 0,
+                  n_buckets: int = 4096) -> pd.DataFrame:
+    """Deterministic global shuffle order for one training epoch:
+    every doc gets a unique ``shuffle_rank`` in [0, n_docs) — the
+    permutation is the sort order of crc32(f"{doc_id}:{epoch}") (ties
+    broken by doc_id), so it is reproducible across runs, engines and
+    cluster shapes, and changes completely between epochs.
+
+    The global rank is assigned WITHOUT any single-node sort, the way a
+    distributed sort ranks its output:
+    1. one streaming pass histograms the top bits of each key into
+       ``n_buckets`` ranges — per-batch ``np.bincount`` partials, summed
+       into a tiny driver-side cumulative-offset table;
+    2. one groupby shuffle co-locates each key range; inside a bucket
+       the group sorts locally and ranks are ``offset[bucket] + i``.
+    Both passes touch only the doc_id column; at 10^10 docs the driver
+    holds 4096 ints and each group holds n/4096 rows.
+
+    Returns (doc_id, shuffle_rank) ordered by doc_id.
+    """
+    import ray
+
+    shift = 32 - int(np.log2(n_buckets))
+    assert (1 << (32 - shift)) == n_buckets, "n_buckets must be a power of 2"
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id"])
+
+    def keyed(batch: pa.Table) -> pd.DataFrame:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False) \
+                   .astype("int64")
+        s = np.char.add(ids.astype(str), f":{epoch}")
+        key = crc32_many(pa.array(s.tolist(), pa.string()))
+        return pd.DataFrame({
+            "doc_id": ids,
+            "key": key.astype("int64"),
+            "bucket": (key >> np.uint32(shift)).astype("int64"),
+        })
+
+    keyed_ds = ds.map_batches(keyed, batch_format="pyarrow").materialize()
+
+    def partial_hist(batch: pd.DataFrame) -> pd.DataFrame:
+        h = np.bincount(batch["bucket"], minlength=n_buckets)
+        return pd.DataFrame({"bucket": np.arange(n_buckets, dtype="int64"),
+                             "n": h.astype("int64")})
+
+    hist = (keyed_ds.map_batches(partial_hist, batch_format="pandas")
+            .groupby("bucket").sum("n").to_pandas())
+    counts = np.zeros(n_buckets, dtype="int64")
+    counts[hist["bucket"].to_numpy()] = hist["sum(n)"].to_numpy()
+    offsets = ray.put(np.concatenate([[0], np.cumsum(counts)[:-1]]))
+
+    def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(offsets)
+        g = g.sort_values(["key", "doc_id"])
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(),
+            "shuffle_rank": off[int(g["bucket"].iloc[0])]
+            + np.arange(len(g), dtype="int64"),
+        })
+
+    out = (keyed_ds.groupby("bucket")
+           .map_groups(rank_bucket, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def decontaminate(sf_dir: str, holdout_permille: int = 100,
                   key_words: int = 3) -> pd.DataFrame:
     """Training/eval contamination check: which training docs collide

@@ -423,3 +423,25 @@ class TestDegeneratePivots:
         assert list(zip(got["a"], got["b"])) == \
             [(int(a), int(b)) for a, b in want]
         assert len(want) >= 3
+
+    def test_epoch_shuffle_is_reproducible_permutation(self):
+        """Each epoch yields a full permutation; identical across runs
+        and bucket granularities (rank must not depend on n_buckets);
+        different epochs give different orders."""
+        import zlib
+
+        from go_crawler_ray.pipelines.sampling import epoch_shuffle
+
+        a = epoch_shuffle(SF, epoch=0)
+        assert sorted(a["shuffle_rank"]) == list(range(len(a)))
+        # independent reference: python sort on (crc32, doc_id)
+        order = sorted(a["doc_id"],
+                       key=lambda i: (zlib.crc32(f"{i}:0".encode()), i))
+        want = {d: r for r, d in enumerate(order)}
+        assert all(want[d] == r for d, r in
+                   zip(a["doc_id"], a["shuffle_rank"]))
+        # few big buckets instead of many tiny ones: same ranks
+        coarse = epoch_shuffle(SF, epoch=0, n_buckets=4)
+        assert list(coarse["shuffle_rank"]) == list(a["shuffle_rank"])
+        b = epoch_shuffle(SF, epoch=1)
+        assert list(b["shuffle_rank"]) != list(a["shuffle_rank"])

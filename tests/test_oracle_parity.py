@@ -70,7 +70,7 @@ ORACLE_KEYS = [
     "ann_brute_force_topk",
     "multimodal_media_meta", "multimodal_resize", "multimodal_frames",
     "multimodal_features",
-    "text_vocab_topk", "sample_docs", "decontaminate",
+    "text_vocab_topk", "sample_docs", "decontaminate", "epoch_shuffle",
 ]
 
 
