@@ -145,3 +145,34 @@ class TestRenderExtractRoundTrip:
         assert out.column("kind").to_pylist() == ["link", "img"]
         assert out.column("ref").to_pylist() == ["/a.html", "/i.png"]
         assert out.column("res_idx").to_pylist() == [0, 1]
+
+
+def test_parse_stage_raises_on_extractor_count_mismatch():
+    """parse_html mode exists to DETECT render->extract divergence: if
+    the extractor returns a different resource count than the corpus
+    spans claim, ParseStage must raise, not silently blend extracted and
+    metadata refs."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+
+    from go_crawler_ray.stages.parse import ParseStage
+
+    spans = [[
+        {"kind": "text", "text": "hello", "media_ref": "", "offset": 0},
+        {"kind": "img", "text": "", "media_ref": "http://h/a.png",
+         "offset": 1},
+        {"kind": "img", "text": "", "media_ref": "http://h/b.png",
+         "offset": 2},
+    ]]
+    # rendered bytes contain only ONE resource, spans claim two
+    batch = pa.table({
+        "url": ["http://h/page"],
+        "kind": ["page"],
+        "skipped_on": [""],
+        "spans": spans,
+        "raw_content": [b'<html><img src="http://h/a.png"></html>'],
+    })
+    stage = ParseStage(parse_html=True)
+    with pytest.raises(ValueError, match="parse_html"):
+        stage(batch)
