@@ -156,6 +156,8 @@ def run_bench() -> dict:
             ("text_quality", _text.quality_scores),
             ("text_vocab_topk", _sample.vocab_topk),
             ("sample_docs", _sample.sample_docs),
+            ("decontaminate", _sample.decontaminate),
+            ("epoch_shuffle", _sample.epoch_shuffle),
             ("dedup_exact", _dedup.exact_dedup),
             ("dedup_minhash_clusters", _dedup.minhash_clusters),
             ("ann_brute_force_topk", _ann.brute_force_topk),

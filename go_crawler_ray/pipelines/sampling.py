@@ -102,10 +102,17 @@ def epoch_shuffle(sf_dir: str, epoch: int = 0,
 
     Returns (doc_id, shuffle_rank) ordered by doc_id.
     """
+    import pyarrow.parquet as _pq
     import ray
 
+    assert n_buckets & (n_buckets - 1) == 0, "n_buckets must be a power of 2"
+    # adaptive bucket count: ~256 rows per bucket, capped at n_buckets —
+    # mostly-empty groups turn the rank groupby into pure scheduling
+    # (ranks are bucket-count-invariant, pinned by test)
+    n_rows = _pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    while n_buckets > 16 and n_buckets * 256 > n_rows:
+        n_buckets >>= 1
     shift = 32 - int(np.log2(n_buckets))
-    assert (1 << (32 - shift)) == n_buckets, "n_buckets must be a power of 2"
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id"])
 
