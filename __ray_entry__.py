@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_docs": _sample.sample_docs,
         "decontaminate": _sample.decontaminate,
         "epoch_shuffle": _sample.epoch_shuffle,
+        "curated_epoch": _sample.curated_epoch,
     }
 
 
@@ -520,4 +521,26 @@ def oracle_sql() -> dict[str, str]:
             f"k AS (SELECT doc_id, {_crc32_sql('ds')} AS key FROM s) "
             f"SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY key, doc_id) "
             f"- 1 AS BIGINT) AS shuffle_rank FROM k ORDER BY doc_id"),
+        # end-to-end curation: quality filter -> first-push-wins dedup
+        # (train slice) -> drop holdout-contaminated keys -> epoch-0
+        # shuffle ranks over the survivors
+        "curated_epoch": (
+            f"WITH s AS (SELECT doc_id, text, CAST(doc_id AS VARCHAR) "
+            f"AS ds FROM documents), "
+            f"f AS (SELECT doc_id, text, {_crc32_sql('ds')} % 1000 AS b "
+            f"FROM s), "
+            f"tok AS (SELECT doc_id, b, {_TOKENS} AS t FROM f), "
+            f"holdk AS (SELECT DISTINCT array_to_string(t[1:3], ' ') AS key "
+            f"FROM tok WHERE b >= 900), "
+            f"q AS (SELECT doc_id, b, array_to_string(t[1:3], ' ') AS key "
+            f"FROM tok WHERE len(t) >= 5 AND CAST(len(list_filter(t, "
+            f"w -> w IN {_STOP})) AS DOUBLE) / len(t) <= 0.5), "
+            f"win AS (SELECT key, MIN(doc_id) AS doc_id FROM q "
+            f"WHERE b < 900 GROUP BY key), "
+            f"surv AS (SELECT w.doc_id, CAST(w.doc_id AS VARCHAR) || ':0' "
+            f"AS es FROM win w "
+            f"WHERE w.key NOT IN (SELECT key FROM holdk)), "
+            f"k2 AS (SELECT doc_id, {_crc32_sql('es')} AS ekey FROM surv) "
+            f"SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY ekey, doc_id) "
+            f"- 1 AS BIGINT) AS shuffle_rank FROM k2 ORDER BY doc_id"),
     }

@@ -103,24 +103,16 @@ def epoch_shuffle(sf_dir: str, epoch: int = 0,
     Returns (doc_id, shuffle_rank) ordered by doc_id.
     """
     import pyarrow.parquet as _pq
-    import ray
 
-    assert n_buckets & (n_buckets - 1) == 0, "n_buckets must be a power of 2"
-    # adaptive bucket count: ~256 rows per bucket, capped at n_buckets —
-    # mostly-empty groups turn the rank groupby into pure scheduling
-    # (ranks are bucket-count-invariant, pinned by test)
     n_rows = _pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
-    while n_buckets > 16 and n_buckets * 256 > n_rows:
-        n_buckets >>= 1
-    shift = 32 - int(np.log2(n_buckets))
+    n_buckets, shift = _adapt_buckets(n_rows, n_buckets)
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id"])
 
     def keyed(batch: pa.Table) -> pd.DataFrame:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False) \
                    .astype("int64")
-        s = np.char.add(ids.astype(str), f":{epoch}")
-        key = crc32_many(pa.array(s.tolist(), pa.string()))
+        key = _epoch_keys(ids, epoch)
         return pd.DataFrame({
             "doc_id": ids,
             "key": key.astype("int64"),
@@ -128,6 +120,32 @@ def epoch_shuffle(sf_dir: str, epoch: int = 0,
         })
 
     keyed_ds = ds.map_batches(keyed, batch_format="pyarrow").materialize()
+    out = _rank_keyed(keyed_ds, n_buckets)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _adapt_buckets(n_rows: int, n_buckets: int) -> tuple[int, int]:
+    """(bucket count, key shift): ~256 rows per bucket, capped at
+    ``n_buckets`` — mostly-empty groups turn the rank groupby into pure
+    scheduling (ranks are bucket-count-invariant, pinned by test)."""
+    assert n_buckets & (n_buckets - 1) == 0, "n_buckets must be a power of 2"
+    while n_buckets > 16 and n_buckets * 256 > n_rows:
+        n_buckets >>= 1
+    return n_buckets, 32 - int(np.log2(n_buckets))
+
+
+def _epoch_keys(ids: np.ndarray, epoch: int) -> np.ndarray:
+    """crc32(f"{doc_id}:{epoch}") per row, vectorized (uint32)."""
+    s = np.char.add(ids.astype("int64").astype(str), f":{epoch}")
+    return crc32_many(pa.array(s.tolist(), pa.string()))
+
+
+def _rank_keyed(keyed_ds: rd.Dataset, n_buckets: int) -> pd.DataFrame:
+    """Global rank assignment over a MATERIALIZED (doc_id, key, bucket)
+    dataset: rank = position in the (key, doc_id) sort order, computed
+    as bucket-histogram cumulative offsets + per-bucket local sort
+    (no single-node sort; the driver holds ``n_buckets`` ints)."""
+    import ray
 
     def partial_hist(batch: pd.DataFrame) -> pd.DataFrame:
         h = np.bincount(batch["bucket"], minlength=n_buckets)
@@ -149,10 +167,9 @@ def epoch_shuffle(sf_dir: str, epoch: int = 0,
             + np.arange(len(g), dtype="int64"),
         })
 
-    out = (keyed_ds.groupby("bucket")
-           .map_groups(rank_bucket, batch_format="pandas")
-           .to_pandas())
-    return out.sort_values("doc_id").reset_index(drop=True)
+    return (keyed_ds.groupby("bucket")
+            .map_groups(rank_bucket, batch_format="pandas")
+            .to_pandas())
 
 
 def decontaminate(sf_dir: str, holdout_permille: int = 100,
@@ -224,4 +241,96 @@ def decontaminate(sf_dir: str, holdout_permille: int = 100,
     if "doc_id" not in out.columns:   # zero contaminated docs anywhere
         out = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
                             "n_matches": pd.Series(dtype="int64")})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def curated_epoch(sf_dir: str, epoch: int = 0, min_words: int = 5,
+                  max_stopword_ratio: float = 0.5, key_words: int = 3,
+                  holdout_permille: int = 100,
+                  n_buckets: int = 4096) -> pd.DataFrame:
+    """The end-to-end curation pass a training run consumes — quality
+    filter -> exact dedup -> eval decontamination -> reproducible epoch
+    shuffle — composed as ONE pipeline over a single corpus read:
+
+    1. one map_batches pass scores quality (word count, stopword ratio
+       — textproc.curate's filter), computes the crc train/holdout
+       bucket and the dedup key;
+    2. the holdout slice's key set (eval sets are not quality-filtered)
+       is collected once and broadcast;
+    3. first-push-wins dedup of quality-passing TRAIN docs = one native
+       Min aggregate per key (the only all-to-all exchange);
+    4. winners drop contaminated keys and take their epoch key in the
+       same map; ranks come from the shared bucket-histogram assignment
+       (no single-node sort).
+
+    Returns (doc_id, shuffle_rank) over the curated survivors, ranks a
+    permutation of [0, n_survivors), ordered by doc_id.
+    """
+    import pyarrow.parquet as _pq
+    import ray
+    from ray.data.aggregate import Min
+
+    from ..functions.textkeys import dedup_key_from_tokens
+    from .textproc import STOPWORDS
+
+    cut = 1000 - holdout_permille
+    stop = set(STOPWORDS)
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def stage1(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy().astype("int64")
+        h = crc32_many(pc.cast(pa.array(ids), pa.string()))
+        words = batch["text"].str.strip().str.split(_WS)
+        n_words = words.str.len().astype("int64")
+        stop_n = words.map(lambda ws: sum(1 for w in ws if w in stop))
+        ok = (n_words >= min_words) & \
+             ((stop_n / n_words) <= max_stopword_ratio)
+        return pd.DataFrame({
+            "doc_id": ids,
+            "bucket": (h % np.uint32(1000)).astype("int64"),
+            "key": dedup_key_from_tokens(words, key_words),
+            "ok": ok.to_numpy(),
+        })
+
+    slim = ds.map_batches(stage1, batch_format="pandas").materialize()
+
+    def hold_keys(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.loc[batch["bucket"] >= cut, ["key"]]
+
+    hold_ref = ray.put(set(
+        slim.map_batches(hold_keys, batch_format="pandas")
+        .to_pandas()["key"]))
+
+    def train_ok(batch: pd.DataFrame) -> pd.DataFrame:
+        m = (batch["bucket"] < cut) & batch["ok"]
+        return batch.loc[m, ["doc_id", "key"]]
+
+    win_ds = (slim.map_batches(train_ok, batch_format="pandas")
+              .groupby("key").aggregate(Min("doc_id"))
+              .materialize())
+
+    # survivor estimate for bucket adaptation: survivors <= corpus rows,
+    # and ranks are bucket-count-invariant, so the full-corpus row count
+    # is a safe (slightly over-bucketed) hint
+    n_rows = _pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    nb, shift = _adapt_buckets(n_rows, n_buckets)
+
+    def decon_and_key(batch: pd.DataFrame) -> pd.DataFrame:
+        hk = ray.get(hold_ref)
+        keep = ~batch["key"].isin(hk)
+        ids = batch["min(doc_id)"][keep].to_numpy().astype("int64")
+        key = _epoch_keys(ids, epoch)
+        return pd.DataFrame({
+            "doc_id": ids,
+            "key": key.astype("int64"),
+            "bucket": (key >> np.uint32(shift)).astype("int64"),
+        })
+
+    keyed = win_ds.map_batches(decon_and_key,
+                               batch_format="pandas").materialize()
+    if not keyed.count():
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "shuffle_rank": pd.Series(dtype="int64")})
+    out = _rank_keyed(keyed, nb)
     return out.sort_values("doc_id").reset_index(drop=True)

@@ -445,3 +445,39 @@ class TestDegeneratePivots:
         assert list(coarse["shuffle_rank"]) == list(a["shuffle_rank"])
         b = epoch_shuffle(SF, epoch=1)
         assert list(b["shuffle_rank"]) != list(a["shuffle_rank"])
+
+    def test_curated_epoch_composition_semantics(self):
+        """curated_epoch == curate-style filter+dedup, minus contaminated
+        keys, ranked by the epoch permutation — cross-checked against the
+        standalone operators it composes."""
+        import zlib
+
+        import pyarrow.parquet as pq
+        from go_crawler_ray.pipelines.sampling import curated_epoch
+        from go_crawler_ray.pipelines.textproc import curate
+
+        got = curated_epoch(SF)
+        assert sorted(got["shuffle_rank"]) == list(range(len(got)))
+        # survivors = curate() winners restricted to the train slice and
+        # decontaminated against the holdout key set
+        cur = curate(SF)
+        docs = pq.read_table(f"{SF}/documents.parquet",
+                             columns=["doc_id", "text"]).to_pandas()
+        b = docs["doc_id"].map(lambda i: zlib.crc32(str(i).encode()) % 1000)
+        key = (docs["text"].str.strip().str.split(r"\s+", regex=True)
+               .str[:3].str.join(" "))
+        hold = set(key[b >= 900])
+        bucket_of = dict(zip(docs["doc_id"], b))
+        # recompute winners among TRAIN-slice quality docs only (curate
+        # dedups across the whole corpus, so winners can differ): just
+        # assert set-level consistency
+        got_ids = set(got["doc_id"])
+        for d, k in zip(cur["doc_id"], cur["dedup_key"]):
+            if bucket_of[d] < 900 and k not in hold:
+                # a whole-corpus winner in the train slice with a clean
+                # key must survive (it is also the train-slice min)
+                assert d in got_ids
+        # nothing contaminated or held out survives
+        key_of = dict(zip(docs["doc_id"], key))
+        assert all(bucket_of[d] < 900 and key_of[d] not in hold
+                   for d in got_ids)

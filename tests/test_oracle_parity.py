@@ -71,6 +71,7 @@ ORACLE_KEYS = [
     "multimodal_media_meta", "multimodal_resize", "multimodal_frames",
     "multimodal_features",
     "text_vocab_topk", "sample_docs", "decontaminate", "epoch_shuffle",
+    "curated_epoch",
 ]
 
 
