@@ -128,3 +128,33 @@ class TestCrawlOracleProperty:
                        res.visit_order.column("seq").to_pylist(),
                        res.visit_order.column("kind").to_pylist()))
         assert got == oracle.visit_order
+
+
+def test_sql_crc32_matches_zlib_on_arbitrary_ascii():
+    """The DuckDB crc32 reimplementation (_crc32_sql) must equal
+    zlib.crc32 for ANY printable-ASCII string — it oracles simhash
+    signatures, sampling buckets and shuffle ranks. Property-tested
+    beyond the corpus values the parity suite pins."""
+    import zlib
+
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from __ray_entry__ import _crc32_sql
+
+    con = duckdb.connect()
+    expr = _crc32_sql("s")
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.lists(st.text(
+        alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x7E),
+        max_size=40), min_size=1, max_size=8))
+    def check(strings):
+        con.execute("CREATE OR REPLACE TABLE t AS SELECT * FROM "
+                    "(SELECT unnest(?) AS s)", [strings])
+        got = dict(con.execute(f"SELECT s, {expr} FROM t").fetchall())
+        for s in strings:
+            assert got[s] == zlib.crc32(s.encode()), repr(s)
+
+    check()
