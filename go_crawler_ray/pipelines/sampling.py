@@ -35,9 +35,11 @@ def vocab_topk(sf_dir: str, k: int = 100) -> pd.DataFrame:
     """Top-``k`` whitespace tokens by global frequency.
 
     Returns (word, n) ordered by (n desc, word asc) — the tie-break
-    makes the cut deterministic. Partial counts per batch, one
-    groupby-sum shuffle over unique words, sort+limit over the
-    vocabulary table.
+    makes the cut deterministic. Partial counts per batch, ONE
+    groupby-sum shuffle over unique words; the top-k cut is per-block
+    partial top-k (exact: the groupby co-locates each word in one
+    block) + a k×blocks driver merge — no second all-to-all sort of
+    the vocabulary table.
     """
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
 
@@ -47,12 +49,16 @@ def vocab_topk(sf_dir: str, k: int = 100) -> pd.DataFrame:
         return pd.DataFrame({"word": vc.index.to_numpy(dtype=object),
                              "n": vc.to_numpy(dtype="int64")})
 
+    def block_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        return (batch.sort_values(["sum(n)", "word"],
+                                  ascending=[False, True]).head(k))
+
     out = (ds.map_batches(partial_counts, batch_format="pandas")
            .groupby("word").sum("n")
-           .sort(["sum(n)", "word"], descending=[True, False])
-           .limit(k)
+           .map_batches(block_topk, batch_format="pandas")
            .to_pandas())
-    out = out.rename(columns={"sum(n)": "n"})
+    out = (out.sort_values(["sum(n)", "word"], ascending=[False, True])
+           .head(k).rename(columns={"sum(n)": "n"}))
     return out[["word", "n"]].reset_index(drop=True)
 
 
