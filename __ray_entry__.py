@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_langid": _text.langid,
         "text_curation": _text.curate,
         "text_winnow_fp": _text.winnow_fingerprints,
+        "text_repetition": _text.repetition_signals,
         # --- dedup family ---
         "dedup_exact": _dedup.exact_dedup,
         "dedup_minhash_clusters": _dedup.minhash_clusters,
@@ -98,6 +99,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": _sample.decontaminate,
         "epoch_shuffle": _sample.epoch_shuffle,
         "curated_epoch": _sample.curated_epoch,
+        "text_oov": _sample.oov_ratio,
+        "domain_balance": _sample.domain_balance,
+        "pack_sequences": _sample.pack_sequences,
     }
 
 
@@ -521,6 +525,68 @@ def oracle_sql() -> dict[str, str]:
             f"k AS (SELECT doc_id, {_crc32_sql('ds')} AS key FROM s) "
             f"SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY key, doc_id) "
             f"- 1 AS BIGINT) AS shuffle_rank FROM k ORDER BY doc_id"),
+        # within-document repetition signals (Gopher/MassiveText rules):
+        # dup-word / top-2-gram / dup-3-gram ratios, all via list kernels
+        "text_repetition": (
+            f"WITH base AS (SELECT doc_id, t, len(t) AS n FROM "
+            f"(SELECT doc_id, {_TOKENS} AS t FROM documents)), "
+            f"top2 AS (SELECT doc_id, MAX(c) AS m FROM ("
+            f"SELECT doc_id, g, COUNT(*) AS c FROM ("
+            f"SELECT doc_id, unnest(list_transform(range(1, n), "
+            f"i -> t[i] || ' ' || t[i+1])) AS g FROM base WHERE n >= 2) "
+            f"GROUP BY doc_id, g) GROUP BY doc_id) "
+            f"SELECT b.doc_id, "
+            f"ROUND(CAST(b.n - len(list_distinct(b.t)) AS DOUBLE) / b.n, 4) "
+            f"AS dup_word_ratio, "
+            f"ROUND(CAST(COALESCE(top2.m, 0) AS DOUBLE) "
+            f"/ GREATEST(b.n - 1, 1), 4) AS top2gram_ratio, "
+            f"CASE WHEN b.n >= 3 THEN ROUND(CAST((b.n - 2) - "
+            f"len(list_distinct(list_transform(range(1, b.n - 1), "
+            f"i -> b.t[i] || ' ' || b.t[i+1] || ' ' || b.t[i+2]))) "
+            f"AS DOUBLE) / (b.n - 2), 4) ELSE 0.0 END AS dup3gram_ratio "
+            f"FROM base b LEFT JOIN top2 USING (doc_id) ORDER BY b.doc_id"),
+        # per-doc OOV rate vs the top-100 global vocab (same census +
+        # deterministic (n desc, word asc) cut as text_vocab_topk)
+        "text_oov": (
+            f"WITH voc AS (SELECT tok AS word FROM "
+            f"(SELECT unnest({_TOKENS}) AS tok FROM documents) "
+            f"GROUP BY tok ORDER BY COUNT(*) DESC, word LIMIT 100), "
+            f"tk AS (SELECT doc_id, unnest({_TOKENS}) AS tok "
+            f"FROM documents), "
+            f"st AS (SELECT tk.doc_id, COUNT(*) AS n_tokens, "
+            f"SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS n_oov "
+            f"FROM tk LEFT JOIN voc v ON tk.tok = v.word "
+            f"GROUP BY tk.doc_id) "
+            f"SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, "
+            f"CAST(n_oov AS BIGINT) AS n_oov, "
+            f"ROUND(CAST(n_oov AS DOUBLE) / n_tokens, 4) AS oov_ratio "
+            f"FROM st ORDER BY doc_id"),
+        # per-language balanced downsample: every lang thinned toward
+        # the smallest lang's count via the crc32 permille decision
+        "domain_balance": (
+            f"WITH c AS (SELECT lang, COUNT(*) AS n FROM documents "
+            f"GROUP BY lang), "
+            f"r AS (SELECT lang, (SELECT MIN(n) FROM c) * 1000 // n "
+            f"AS rate FROM c), "
+            f"s AS (SELECT doc_id, lang, CAST(doc_id AS VARCHAR) AS ds "
+            f"FROM documents), "
+            f"k AS (SELECT doc_id, lang, {_crc32_sql('ds')} % 1000 AS b "
+            f"FROM s) "
+            f"SELECT k.doc_id, k.lang, k.b AS bucket FROM k "
+            f"JOIN r ON k.lang = r.lang WHERE k.b < r.rate "
+            f"ORDER BY k.doc_id"),
+        # sequence-packing layout: exclusive prefix sum of token counts
+        # in doc_id order, cut into 256-token training sequences
+        "pack_sequences": (
+            f"WITH t AS (SELECT doc_id, CAST(len({_TOKENS}) AS BIGINT) "
+            f"AS n FROM documents), "
+            f"c AS (SELECT doc_id, n, SUM(n) OVER (ORDER BY doc_id "
+            f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS s "
+            f"FROM t) "
+            f"SELECT doc_id, n AS n_tokens, CAST(s AS BIGINT) AS start_tok, "
+            f"CAST(s // 256 AS BIGINT) AS seq_id, "
+            f"CAST((s + n - 1) // 256 - s // 256 + 1 AS BIGINT) AS n_seqs "
+            f"FROM c ORDER BY doc_id"),
         # end-to-end curation: quality filter -> first-push-wins dedup
         # (train slice) -> drop holdout-contaminated keys -> epoch-0
         # shuffle ranks over the survivors

@@ -88,6 +88,167 @@ def sample_docs(sf_dir: str, permille: int = 100) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def oov_ratio(sf_dir: str, vocab_k: int = 100) -> pd.DataFrame:
+    """(doc_id, n_tokens, n_oov, oov_ratio) — per-doc out-of-vocabulary
+    rate against the global top-``vocab_k`` token census. The classic
+    two-pass shape: the census is the distributed ``vocab_topk`` pass
+    (one groupby-sum over unique words), its tiny result is broadcast
+    once (``ray.put``), and scoring is a stateless streaming filter —
+    the corpus is read twice but never shuffled for the join.
+
+    At 100 TB the vocab is a fixed artifact (a tokenizer's vocabulary);
+    here it is derived from the same corpus so the whole query is
+    self-contained and SQL-oracleable.
+    """
+    import ray
+
+    vocab_ref = ray.put(frozenset(vocab_topk(sf_dir, vocab_k)["word"]))
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    class Score:
+        def __init__(self):
+            # one frozenset deserialization per ACTOR, not per batch
+            self.vocab = ray.get(vocab_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            from ..functions.compat import round_half_away
+
+            words = batch["text"].str.strip().str.split(_WS)
+            n = words.str.len().astype("int64")
+            v = self.vocab
+            oov = words.map(
+                lambda ws: sum(1 for w in ws if w not in v)).astype("int64")
+            return pd.DataFrame({
+                "doc_id": batch["doc_id"].astype("int64"),
+                "n_tokens": n,
+                "n_oov": oov,
+                "oov_ratio": round_half_away(oov / n),
+            })
+
+    from ..functions.pool import auto_pool
+
+    out = ds.map_batches(Score, batch_format="pandas",
+                         concurrency=auto_pool(frac=0.5)).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def domain_balance(sf_dir: str, group_col: str = "lang") -> pd.DataFrame:
+    """Per-group balanced downsample — the mixture-weighting pass a
+    training run uses to stop one language/domain from dominating an
+    epoch (the corpus's ``lang`` column is ~3x skewed toward en).
+
+    Every group is deterministically thinned toward the SMALLEST group's
+    row count: ``rate_g = floor(min_count * 1000 / count_g)`` permille,
+    and a doc survives iff ``crc32(str(doc_id)) % 1000 < rate_g`` (the
+    ``sample_docs`` decision kernel, so the subset is reproducible
+    across runs, engines and cluster shapes).
+
+    Scale shape: the per-group census is ONE tiny groupby-count (rows =
+    number of groups); the rate table is broadcast; the keep filter is
+    a stateless vectorized map — no shuffle of the corpus itself.
+
+    Returns (doc_id, lang, bucket) for kept docs, ordered by doc_id.
+    """
+    import ray
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", group_col])
+    counts = ds.groupby(group_col).count().to_pandas()
+    mn = int(counts["count()"].min())
+    rates = {s: (mn * 1000) // int(c)
+             for s, c in zip(counts[group_col], counts["count()"])}
+    rates_ref = ray.put(rates)
+
+    def keep(batch: pd.DataFrame) -> pd.DataFrame:
+        r = ray.get(rates_ref)
+        ids = batch["doc_id"].to_numpy().astype("int64")
+        h = crc32_many(pa.array(ids.astype(str).tolist(), pa.string()))
+        bucket = (h % np.uint32(1000)).astype("int64")
+        rate = batch[group_col].map(r).to_numpy().astype("int64")
+        m = bucket < rate
+        return pd.DataFrame({"doc_id": ids[m],
+                             group_col: batch[group_col].to_numpy()[m],
+                             "bucket": bucket[m]})
+
+    out = ds.map_batches(keep, batch_format="pandas").to_pandas()
+    if "doc_id" not in out.columns:   # degenerate: nothing kept anywhere
+        out = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                            group_col: pd.Series(dtype=object),
+                            "bucket": pd.Series(dtype="int64")})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def pack_sequences(sf_dir: str, seq_len: int = 256,
+                   n_buckets: int = 4096) -> pd.DataFrame:
+    """Training-sequence packing layout: concatenate every doc's tokens
+    in doc_id order and cut the stream into fixed ``seq_len`` windows —
+    each doc learns where its tokens land.
+
+    Returns (doc_id, n_tokens, start_tok, seq_id, n_seqs): global token
+    offset of the doc's first token, the training sequence that token
+    falls in, and how many sequences the doc straddles.
+
+    The global offset is an exclusive prefix sum over 10^10 docs,
+    computed as a distributed scan (the ``epoch_shuffle`` rank pattern):
+    1. one streaming pass emits (doc_id, n_tokens, bucket) where bucket
+       is a contiguous doc_id range;
+    2. per-bucket token sums -> a tiny driver-side cumulative-offset
+       table (``n_buckets`` ints);
+    3. per-bucket local cumsum + bucket offset = the exact global
+       offset. No single-node sort, no all-to-all beyond the bucket
+       groupby.
+
+    Ordered by doc_id. Bucket count adapts to the data and the result is
+    bucket-count-invariant (pinned by test).
+    """
+    import pyarrow.parquet as _pq
+    import ray
+
+    n_rows = _pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    nb, _ = _adapt_buckets(n_rows, n_buckets)
+    rpb = max(1, -(-n_rows // nb))        # ceil, >= 1
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def counted(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy().astype("int64")
+        n = (batch["text"].str.strip().str.split(_WS)
+             .str.len().to_numpy().astype("int64"))
+        return pd.DataFrame({"doc_id": ids, "n_tokens": n,
+                             "bucket": ids // rpb})
+
+    slim = ds.map_batches(counted, batch_format="pandas").materialize()
+    hist = (slim.map_batches(
+                lambda b: b.groupby("bucket", as_index=False)["n_tokens"]
+                           .sum(),
+                batch_format="pandas")
+            .groupby("bucket").sum("n_tokens").to_pandas()
+            .sort_values("bucket"))
+    toks = hist["sum(n_tokens)"].to_numpy().astype("int64")
+    offsets_ref = ray.put(dict(zip(
+        hist["bucket"].astype("int64"),
+        np.concatenate([[0], np.cumsum(toks)[:-1]]))))
+
+    def pack_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(offsets_ref)
+        g = g.sort_values("doc_id")
+        n = g["n_tokens"].to_numpy()
+        start = off[int(g["bucket"].iloc[0])] + np.cumsum(n) - n
+        seq = start // seq_len
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(),
+            "n_tokens": n,
+            "start_tok": start,
+            "seq_id": seq,
+            "n_seqs": (start + n - 1) // seq_len - seq + 1,
+        })
+
+    out = (slim.groupby("bucket")
+           .map_groups(pack_bucket, batch_format="pandas").to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def epoch_shuffle(sf_dir: str, epoch: int = 0,
                   n_buckets: int = 4096) -> pd.DataFrame:
     """Deterministic global shuffle order for one training epoch:

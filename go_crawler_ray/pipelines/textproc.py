@@ -221,6 +221,53 @@ def winnow_fingerprints(sf_dir: str, k: int = 8, w: int = 6) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def repetition_signals(sf_dir: str) -> pd.DataFrame:
+    """(doc_id, dup_word_ratio, top2gram_ratio, dup3gram_ratio) — the
+    within-document repetition signals corpus-quality filters cut on
+    (the Gopher/MassiveText family of rules, Rae et al. 2021, public):
+
+    - ``dup_word_ratio``: fraction of tokens that are repeats of an
+      earlier token, ``(n - n_unique) / n``;
+    - ``top2gram_ratio``: occurrences of the most frequent word 2-gram
+      over total 2-grams (0.0 when the doc has fewer than 2 tokens);
+    - ``dup3gram_ratio``: fraction of word 3-grams that are duplicates
+      (0.0 below 3 tokens).
+
+    Stateless ``map_batches``; the per-doc Counter is a real per-document
+    kernel (each doc's n-gram multiset is independent), distributed
+    across map tasks. All three ratios are SQL-expressible, so the query
+    sits behind a value-exact DuckDB oracle."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def signals(batch: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+
+        dup_w, top2, dup3 = [], [], []
+        for t in batch["text"]:
+            ws = _WS.split(t.strip())
+            n = len(ws)
+            dup_w.append((n - len(set(ws))) / n)
+            if n >= 2:
+                c2 = Counter(zip(ws, ws[1:]))
+                top2.append(max(c2.values()) / (n - 1))
+            else:
+                top2.append(0.0)
+            if n >= 3:
+                g3 = list(zip(ws, ws[1:], ws[2:]))
+                dup3.append((len(g3) - len(set(g3))) / len(g3))
+            else:
+                dup3.append(0.0)
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"].astype("int64"),
+            "dup_word_ratio": round_half_away(np.array(dup_w)),
+            "top2gram_ratio": round_half_away(np.array(top2)),
+            "dup3gram_ratio": round_half_away(np.array(dup3)),
+        })
+
+    out = ds.map_batches(signals, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 class LangIdStage:
     """Actor-pool language-ID: profiles compiled once per actor."""
 

@@ -385,6 +385,100 @@ class TestSampling:
         assert (k == docs["text"].str.strip().str.split(r"\s+", regex=True)
                 .str[:3].str.join(" ")).all()
 
+    def test_repetition_signals_match_python(self):
+        """Distributed repetition signals == a direct per-doc Counter
+        pass, and word-soup docs MUST show nonzero repetition."""
+        import re
+        from collections import Counter
+
+        import pyarrow.parquet as pq
+        from go_crawler_ray.functions.compat import round_half_away
+        from go_crawler_ray.pipelines.textproc import repetition_signals
+
+        got = repetition_signals(SF)
+        docs = pq.read_table(f"{SF}/documents.parquet",
+                             columns=["doc_id", "text"]).to_pandas()
+        docs = docs.sort_values("doc_id").reset_index(drop=True)
+        assert list(got["doc_id"]) == list(docs["doc_id"])
+        for i, t in enumerate(docs["text"]):
+            ws = re.split(r"\s+", t.strip())
+            n = len(ws)
+            assert got["dup_word_ratio"][i] == \
+                round_half_away((n - len(set(ws))) / n)
+            want2 = (max(Counter(zip(ws, ws[1:])).values()) / (n - 1)
+                     if n >= 2 else 0.0)
+            assert got["top2gram_ratio"][i] == round_half_away(want2)
+            g3 = list(zip(ws, ws[1:], ws[2:]))
+            want3 = ((len(g3) - len(set(g3))) / len(g3)) if n >= 3 else 0.0
+            assert got["dup3gram_ratio"][i] == round_half_away(want3)
+        assert (got["dup_word_ratio"] > 0).any()
+
+    def test_oov_ratio_matches_python_census(self):
+        """Broadcast-vocab OOV scoring == python census + set check."""
+        import pyarrow.parquet as pq
+        from go_crawler_ray.pipelines.sampling import oov_ratio, vocab_topk
+
+        got = oov_ratio(SF, vocab_k=20)
+        vocab = set(vocab_topk(SF, 20)["word"])
+        docs = pq.read_table(f"{SF}/documents.parquet",
+                             columns=["doc_id", "text"]).to_pandas()
+        words = docs["text"].str.strip().str.split(r"\s+", regex=True)
+        want_oov = words.map(lambda ws: sum(1 for w in ws if w not in vocab))
+        want = dict(zip(docs["doc_id"], want_oov))
+        assert dict(zip(got["doc_id"], got["n_oov"])) == \
+            {int(k): int(v) for k, v in want.items()}
+        # the 20-word vocab can't cover everything NOR miss everything
+        assert 0 < got["n_oov"].sum() < got["n_tokens"].sum()
+
+    def test_domain_balance_matches_zlib_decision(self):
+        """Per-lang thinning == the pure-python crc32 decision; the
+        dominant lang is actually thinned and the smallest kept whole."""
+        import zlib
+
+        import pyarrow.parquet as pq
+        from go_crawler_ray.pipelines.sampling import domain_balance
+
+        got = domain_balance(SF)
+        docs = pq.read_table(f"{SF}/documents.parquet",
+                             columns=["doc_id", "lang"]).to_pandas()
+        counts = docs["lang"].value_counts()
+        mn = int(counts.min())
+        rates = {s: (mn * 1000) // int(c) for s, c in counts.items()}
+        want = sorted(
+            (int(d), s, zlib.crc32(str(d).encode()) % 1000)
+            for d, s in zip(docs["doc_id"], docs["lang"])
+            if zlib.crc32(str(d).encode()) % 1000 < rates[s])
+        assert list(zip(got["doc_id"], got["lang"], got["bucket"])) == want
+        # the skewed corpus must actually thin: en is ~3x the smallest
+        kept = got["lang"].value_counts()
+        assert kept["en"] < counts["en"]
+        assert kept[counts.idxmin()] == mn
+
+    def test_pack_sequences_is_an_exact_prefix_sum(self):
+        """Distributed scan packing == a single-process cumsum, is
+        bucket-count-invariant, and tiles the token stream."""
+        import pyarrow.parquet as pq
+        from go_crawler_ray.pipelines.sampling import pack_sequences
+
+        got = pack_sequences(SF, seq_len=64)
+        docs = pq.read_table(f"{SF}/documents.parquet",
+                             columns=["doc_id", "text"]).to_pandas()
+        docs = docs.sort_values("doc_id").reset_index(drop=True)
+        n = (docs["text"].str.strip().str.split(r"\s+", regex=True)
+             .str.len().to_numpy())
+        start = np.cumsum(n) - n
+        assert list(got["doc_id"]) == list(docs["doc_id"])
+        assert (got["n_tokens"].to_numpy() == n).all()
+        assert (got["start_tok"].to_numpy() == start).all()
+        assert (got["seq_id"].to_numpy() == start // 64).all()
+        assert (got["n_seqs"].to_numpy() ==
+                (start + n - 1) // 64 - start // 64 + 1).all()
+        # every doc occupies at least one sequence; stream is gapless
+        assert (got["n_seqs"] >= 1).all()
+        assert got["start_tok"].iloc[-1] + got["n_tokens"].iloc[-1] == n.sum()
+        few = pack_sequences(SF, seq_len=64, n_buckets=16)
+        assert few.equals(got)
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestDegeneratePivots:

@@ -71,7 +71,8 @@ ORACLE_KEYS = [
     "multimodal_media_meta", "multimodal_resize", "multimodal_frames",
     "multimodal_features",
     "text_vocab_topk", "sample_docs", "decontaminate", "epoch_shuffle",
-    "curated_epoch",
+    "curated_epoch", "text_repetition", "text_oov", "domain_balance",
+    "pack_sequences",
 ]
 
 
