@@ -69,6 +69,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_event_stats": _rel.sliding_event_stats,
         "top_orders_per_segment": _rel.top_orders_per_segment,
         "user_sessions": _rel.user_sessions,
+        "event_asof_join": _rel.event_asof_join,
+        "revenue_percentiles": _rel.revenue_percentiles,
         # --- text analysis ---
         "text_token_count": _text.token_count,
         "text_quality": _text.quality_scores,
@@ -344,6 +346,33 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT user_id, epoch(ts - LAG(ts) OVER "
             "(PARTITION BY user_id ORDER BY ts)) AS gap FROM events) "
             "GROUP BY user_id ORDER BY user_id"),
+        # as-of join: each purchase matched to the user's latest click
+        # at-or-before it (ties toward the larger event_id) — LATERAL
+        # top-1 subquery is the SQL spelling of the as-of semantics
+        "event_asof_join": (
+            "WITH c AS (SELECT user_id, ts, event_id FROM events "
+            "WHERE event_type = 'click'), "
+            "p AS (SELECT user_id, ts, event_id FROM events "
+            "WHERE event_type = 'purchase') "
+            "SELECT p.user_id, p.event_id AS purchase_id, "
+            "p.ts AS purchase_ts, l.click_id, l.click_ts, "
+            "CAST(epoch_us(p.ts) - epoch_us(l.click_ts) AS BIGINT) AS gap_us "
+            "FROM p JOIN LATERAL ("
+            "SELECT c.event_id AS click_id, c.ts AS click_ts FROM c "
+            "WHERE c.user_id = p.user_id AND c.ts <= p.ts "
+            "ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) l ON TRUE "
+            "ORDER BY purchase_id"),
+        # exact order statistics: the engine's histogram-select must
+        # reproduce the value at sorted offset floor(pct * (n-1))
+        "revenue_percentiles": (
+            "WITH rev AS (SELECT l_extendedprice * (1 - l_discount) AS v "
+            "FROM lineitem), "
+            "s AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) - 1 AS i, "
+            "COUNT(*) OVER () AS n FROM rev), "
+            "p AS (SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS pct) "
+            "SELECT p.pct AS pct, ROUND(s.v, 4) AS value FROM p "
+            "JOIN s ON s.i = CAST(floor(p.pct * (s.n - 1)) AS BIGINT) "
+            "ORDER BY pct"),
         "text_token_count": (
             f"SELECT doc_id, CAST(len({_TOKENS}) AS BIGINT) AS n_tokens "
             f"FROM documents ORDER BY doc_id"),

@@ -348,3 +348,155 @@ def user_sessions(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
     out["n_events"] = out["n_events"].astype("int64")
     return (out[["user_id", "n_sessions", "n_events"]]
             .sort_values("user_id").reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# As-of join: for each purchase, the latest click at-or-before it per user
+
+def event_asof_join(sf_dir: str, left_type: str = "purchase",
+                    right_type: str = "click") -> pd.DataFrame:
+    """As-of join over the events table — the windowed-lookup operator
+    Ray Data has no primitive for: every ``left_type`` event matches the
+    LATEST ``right_type`` event by the same user with ``right.ts <=
+    left.ts`` (ties on ts broken toward the larger event_id, so the
+    match is deterministic). Unmatched left rows drop (inner as-of).
+
+    Shape: ONE key shuffle — filter both event kinds in the same
+    streaming pass, ``groupby(user_id)``, then a vectorized
+    ``np.searchsorted`` per group (the group's right side sorted once,
+    every left row matched in O(log n)). Partitioning assumption: one
+    user's history fits a group — the key is the entity id, the same
+    assumption sessionization makes; a pathological single-user stream
+    would need time-range sub-splitting with boundary carry-over.
+
+    Returns (user_id, purchase_id, purchase_ts, click_id, click_ts,
+    gap_us) ordered by purchase_id; gap_us = microseconds between the
+    two events (exact int64 — no float rounding in the oracle compare).
+    """
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def both_kinds(batch: pd.DataFrame) -> pd.DataFrame:
+        m = batch["event_type"].isin((left_type, right_type))
+        return batch.loc[m, ["event_id", "ts", "user_id", "event_type"]]
+
+    def asof_group(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["event_type"] == left_type]
+        right = (g[g["event_type"] == right_type]
+                 .sort_values(["ts", "event_id"]))
+        empty = pd.DataFrame({
+            "user_id": pd.Series(dtype="int64"),
+            "purchase_id": pd.Series(dtype="int64"),
+            "purchase_ts": pd.Series(dtype="datetime64[us]"),
+            "click_id": pd.Series(dtype="int64"),
+            "click_ts": pd.Series(dtype="datetime64[us]"),
+            "gap_us": pd.Series(dtype="int64"),
+        })
+        if not len(left) or not len(right):
+            return empty
+        l_ts = left["ts"].to_numpy().astype("datetime64[us]").view("int64")
+        r_ts = right["ts"].to_numpy().astype("datetime64[us]").view("int64")
+        idx = np.searchsorted(r_ts, l_ts, side="right") - 1
+        keep = idx >= 0
+        if not keep.any():
+            return empty
+        idx = idx[keep]
+        return pd.DataFrame({
+            "user_id": left["user_id"].to_numpy()[keep],
+            "purchase_id": left["event_id"].to_numpy()[keep],
+            "purchase_ts": left["ts"].to_numpy()[keep],
+            "click_id": right["event_id"].to_numpy()[idx],
+            "click_ts": right["ts"].to_numpy()[idx],
+            "gap_us": l_ts[keep] - r_ts[idx],
+        })
+
+    out = (ds.map_batches(both_kinds, batch_format="pandas")
+           .groupby("user_id")
+           .map_groups(asof_group, batch_format="pandas")
+           .to_pandas())
+    if "purchase_id" not in out.columns:
+        return asof_group(pd.DataFrame({
+            "event_id": pd.Series(dtype="int64"),
+            "ts": pd.Series(dtype="datetime64[us]"),
+            "user_id": pd.Series(dtype="int64"),
+            "event_type": pd.Series(dtype=object)}))
+    return out.sort_values("purchase_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Exact distributed percentiles: histogram-select order statistics
+
+def revenue_percentiles(
+        sf_dir: str,
+        pcts: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
+        n_buckets: int = 8192) -> pd.DataFrame:
+    """Exact percentiles of lineitem revenue
+    (``l_extendedprice * (1 - l_discount)``) WITHOUT a global sort —
+    the classic distributed order-statistics selection:
+
+    1. one streaming pass: per-batch (min, max, count) partials;
+    2. one streaming pass: per-batch value histograms over
+       ``n_buckets`` equal-width bins -> tiny groupby-sum (the driver
+       holds ``n_buckets`` ints);
+    3. the cumulative histogram locates, for each target rank
+       ``k = floor(pct * (n - 1))``, the ONE bin containing it; only
+       those bins' values (n / n_buckets each) are pulled and the k-th
+       element read off with ``np.partition``.
+
+    At 10^10 rows a bin is ~1M doubles — driver-trivial; under
+    pathological value skew (one bin dominating) the same three passes
+    recurse within the hot bin. A min == max column short-circuits.
+
+    Returns (pct, value) with value rounded to 4 (the oracle is the
+    SQL row at OFFSET k of the sorted column).
+    """
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice", "l_discount"])
+
+    def rev(batch: pd.DataFrame) -> np.ndarray:
+        return (batch["l_extendedprice"].to_numpy()
+                * (1.0 - batch["l_discount"].to_numpy()))
+
+    def stats(batch: pd.DataFrame) -> pd.DataFrame:
+        v = rev(batch)
+        return pd.DataFrame({"mn": [v.min()], "mx": [v.max()],
+                             "n": [len(v)]})
+
+    st = ds.map_batches(stats, batch_format="pandas").to_pandas()
+    mn, mx, n = float(st["mn"].min()), float(st["mx"].max()), int(st["n"].sum())
+    ks = [int(np.floor(p * (n - 1))) for p in pcts]
+    if mn == mx:
+        return pd.DataFrame({"pct": np.array(pcts, dtype="float64"),
+                             "value": round_half_away(np.full(len(pcts), mn))})
+    width = (mx - mn) / n_buckets
+
+    def to_bucket(v: np.ndarray) -> np.ndarray:
+        return np.clip(((v - mn) / width).astype("int64"), 0, n_buckets - 1)
+
+    def hist(batch: pd.DataFrame) -> pd.DataFrame:
+        h = np.bincount(to_bucket(rev(batch)), minlength=n_buckets)
+        nz = np.nonzero(h)[0]
+        return pd.DataFrame({"bucket": nz.astype("int64"),
+                             "n": h[nz].astype("int64")})
+
+    hg = (ds.map_batches(hist, batch_format="pandas")
+          .groupby("bucket").sum("n").to_pandas())
+    counts = np.zeros(n_buckets, dtype="int64")
+    counts[hg["bucket"].to_numpy()] = hg["sum(n)"].to_numpy()
+    cum_before = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    need = {int(np.searchsorted(np.cumsum(counts), k, side="right"))
+            for k in ks}
+
+    def pull(batch: pd.DataFrame) -> pd.DataFrame:
+        v = rev(batch)
+        b = to_bucket(v)
+        m = np.isin(b, list(need))
+        return pd.DataFrame({"bucket": b[m], "v": v[m]})
+
+    pulled = ds.map_batches(pull, batch_format="pandas").to_pandas()
+    vals = []
+    for p, k in zip(pcts, ks):
+        b = int(np.searchsorted(np.cumsum(counts), k, side="right"))
+        inb = pulled.loc[pulled["bucket"] == b, "v"].to_numpy()
+        j = k - int(cum_before[b])
+        vals.append(np.partition(inb, j)[j])
+    return pd.DataFrame({"pct": np.array(pcts, dtype="float64"),
+                         "value": round_half_away(np.array(vals))})

@@ -481,6 +481,51 @@ class TestSampling:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestRelationalExtras:
+    def test_asof_join_matches_merge_asof(self):
+        """Distributed searchsorted as-of == pandas merge_asof per user
+        (with the same larger-event_id tie-break via stable sort)."""
+        import pandas as pd
+        import pyarrow.parquet as pq
+        from go_crawler_ray.pipelines.relational import event_asof_join
+
+        got = event_asof_join(SF)
+        ev = pq.read_table(f"{SF}/events.parquet",
+                           columns=["event_id", "ts", "user_id",
+                                    "event_type"]).to_pandas()
+        left = (ev[ev["event_type"] == "purchase"]
+                .sort_values("ts").reset_index(drop=True))
+        right = (ev[ev["event_type"] == "click"]
+                 .sort_values(["ts", "event_id"]).reset_index(drop=True))
+        m = pd.merge_asof(left, right, on="ts", by="user_id",
+                          direction="backward", suffixes=("", "_c"))
+        m = m[m["event_id_c"].notna()].sort_values("event_id")
+        assert list(got["purchase_id"]) == list(m["event_id"])
+        assert list(got["click_id"]) == [int(x) for x in m["event_id_c"]]
+        assert (got["gap_us"] >= 0).all()
+        assert len(got) > 0
+
+    def test_revenue_percentiles_match_numpy_sort(self):
+        """Histogram-select order statistics == a full numpy sort, and
+        are bucket-count-invariant."""
+        import pyarrow.parquet as pq
+        from go_crawler_ray.functions.compat import round_half_away
+        from go_crawler_ray.pipelines.relational import revenue_percentiles
+
+        got = revenue_percentiles(SF)
+        li = pq.read_table(f"{SF}/lineitem.parquet",
+                           columns=["l_extendedprice",
+                                    "l_discount"]).to_pandas()
+        v = np.sort(li["l_extendedprice"].to_numpy()
+                    * (1.0 - li["l_discount"].to_numpy()))
+        n = len(v)
+        for p, val in zip(got["pct"], got["value"]):
+            assert val == round_half_away(v[int(np.floor(p * (n - 1)))])
+        coarse = revenue_percentiles(SF, n_buckets=64)
+        assert coarse.equals(got)
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestDegeneratePivots:
     def test_all_zero_training_sample_still_exact(self):
         """If every vector in the seeded pivot-training sample is

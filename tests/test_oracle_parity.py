@@ -72,7 +72,7 @@ ORACLE_KEYS = [
     "multimodal_features",
     "text_vocab_topk", "sample_docs", "decontaminate", "epoch_shuffle",
     "curated_epoch", "text_repetition", "text_oov", "domain_balance",
-    "pack_sequences",
+    "pack_sequences", "event_asof_join", "revenue_percentiles",
 ]
 
 
