@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_curation": _text.curate,
         "text_winnow_fp": _text.winnow_fingerprints,
         "text_repetition": _text.repetition_signals,
+        "text_chunks": _text.chunk_docs,
         # --- dedup family ---
         "dedup_exact": _dedup.exact_dedup,
         "dedup_minhash_clusters": _dedup.minhash_clusters,
@@ -574,6 +575,21 @@ def oracle_sql() -> dict[str, str]:
             f"i -> b.t[i] || ' ' || b.t[i+1] || ' ' || b.t[i+2]))) "
             f"AS DOUBLE) / (b.n - 2), 4) ELSE 0.0 END AS dup3gram_ratio "
             f"FROM base b LEFT JOIN top2 USING (doc_id) ORDER BY b.doc_id"),
+        # sliding token-window chunking: window 32, step 24, last window
+        # truncated, >= 1 chunk per doc (all-overlap windows re-emit
+        # nothing: n_chunks = max(1, ceil((n - 8) / 24)))
+        "text_chunks": (
+            f"WITH b AS (SELECT doc_id, t, len(t) AS n FROM "
+            f"(SELECT doc_id, {_TOKENS} AS t FROM documents)), "
+            f"c AS (SELECT doc_id, t, n, unnest(range(0, GREATEST("
+            f"CAST(ceil(CAST(n - 8 AS DOUBLE) / 24) AS BIGINT), 1))) AS ci "
+            f"FROM b) "
+            f"SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx, "
+            f"CAST(ci * 24 AS BIGINT) AS start_tok, "
+            f"CAST(LEAST(ci * 24 + 32, n) - ci * 24 AS BIGINT) AS n_tokens, "
+            f"array_to_string(t[ci * 24 + 1 : LEAST(ci * 24 + 32, n)], ' ') "
+            f"AS chunk_text "
+            f"FROM c ORDER BY doc_id, chunk_idx"),
         # per-doc OOV rate vs the top-100 global vocab (same census +
         # deterministic (n desc, word asc) cut as text_vocab_topk)
         "text_oov": (

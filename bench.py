@@ -158,6 +158,9 @@ def run_bench() -> dict:
             ("sample_docs", _sample.sample_docs),
             ("decontaminate", _sample.decontaminate),
             ("epoch_shuffle", _sample.epoch_shuffle),
+            ("event_asof_join", _rel.event_asof_join),
+            ("revenue_percentiles", _rel.revenue_percentiles),
+            ("pack_sequences", _sample.pack_sequences),
             ("dedup_exact", _dedup.exact_dedup),
             ("dedup_minhash_clusters", _dedup.minhash_clusters),
             ("ann_brute_force_topk", _ann.brute_force_topk),

@@ -268,6 +268,50 @@ def repetition_signals(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def chunk_docs(sf_dir: str, chunk_tokens: int = 32,
+               overlap: int = 8) -> pd.DataFrame:
+    """(doc_id, chunk_idx, start_tok, n_tokens, chunk_text) — sliding
+    token-window chunking, the explode step in front of every embedding
+    / retrieval pipeline: window of ``chunk_tokens`` advancing by
+    ``chunk_tokens - overlap``, last window truncated at the doc end,
+    and a doc always yields >= 1 chunk. ``n_chunks = max(1,
+    ceil((n - overlap) / step))`` — a window whose tokens are all
+    overlap re-emits nothing.
+
+    Pure stateless flat-map (each input row explodes independently):
+    fully streaming, no shuffle, no state — the operator shape that
+    scales embarrassingly. Ordered by (doc_id, chunk_idx)."""
+    step = chunk_tokens - overlap
+    assert step > 0, "overlap must be smaller than chunk_tokens"
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        ids, cidx, start, ntok, ctext = [], [], [], [], []
+        for d, t in zip(batch["doc_id"], batch["text"]):
+            ws = _WS.split(t.strip())
+            n = len(ws)
+            n_chunks = max(1, -(-(n - overlap) // step))
+            for i in range(n_chunks):
+                s = i * step
+                e = min(s + chunk_tokens, n)
+                ids.append(int(d))
+                cidx.append(i)
+                start.append(s)
+                ntok.append(e - s)
+                ctext.append(" ".join(ws[s:e]))
+        return pd.DataFrame({
+            "doc_id": np.array(ids, dtype="int64"),
+            "chunk_idx": np.array(cidx, dtype="int64"),
+            "start_tok": np.array(start, dtype="int64"),
+            "n_tokens": np.array(ntok, dtype="int64"),
+            "chunk_text": ctext,
+        })
+
+    out = ds.map_batches(explode, batch_format="pandas").to_pandas()
+    return (out.sort_values(["doc_id", "chunk_idx"])
+            .reset_index(drop=True))
+
+
 class LangIdStage:
     """Actor-pool language-ID: profiles compiled once per actor."""
 

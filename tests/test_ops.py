@@ -505,6 +505,33 @@ class TestRelationalExtras:
         assert (got["gap_us"] >= 0).all()
         assert len(got) > 0
 
+    def test_chunk_docs_reconstructs_and_tiles(self):
+        """Chunk explode: first chunk starts at 0, consecutive chunks
+        overlap by exactly `overlap` tokens, the union reconstructs the
+        doc, and the all-overlap tail window is never emitted."""
+        import pyarrow.parquet as pq
+        from go_crawler_ray.pipelines.textproc import chunk_docs
+
+        got = chunk_docs(SF, chunk_tokens=32, overlap=8)
+        docs = pq.read_table(f"{SF}/documents.parquet",
+                             columns=["doc_id", "text"]).to_pandas()
+        text = dict(zip(docs["doc_id"], docs["text"]))
+        assert set(got["doc_id"]) == set(docs["doc_id"])
+        assert (got["n_tokens"] >= 1).all()
+        for d, g in got.groupby("doc_id"):
+            ws = text[d].strip().split()
+            n = len(ws)
+            assert list(g["chunk_idx"]) == list(range(len(g)))
+            assert len(g) == max(1, -(-(n - 8) // 24))
+            for _, r in g.iterrows():
+                s, e = r["start_tok"], r["start_tok"] + r["n_tokens"]
+                assert r["chunk_text"] == " ".join(ws[s:e])
+            # gapless tiling: next start <= previous end
+            ends = (g["start_tok"] + g["n_tokens"]).to_numpy()
+            assert (g["start_tok"].to_numpy()[1:] <= ends[:-1]).all()
+            assert ends[-1] == n
+        assert (got.groupby("doc_id").size() > 1).any()
+
     def test_revenue_percentiles_match_numpy_sort(self):
         """Histogram-select order statistics == a full numpy sort, and
         are bucket-count-invariant."""
