@@ -114,16 +114,22 @@ def oov_ratio(sf_dir: str, vocab_k: int = 100) -> pd.DataFrame:
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
             from ..functions.compat import round_half_away
 
-            words = batch["text"].str.strip().str.split(_WS)
+            words = (batch["text"].str.strip().str.split(_WS)
+                     .reset_index(drop=True))
             n = words.str.len().astype("int64")
-            v = self.vocab
-            oov = words.map(
-                lambda ws: sum(1 for w in ws if w not in v)).astype("int64")
+            # vectorized membership: explode keeps the row index, so the
+            # per-row OOV count is one isin + one index-level sum (no
+            # Python loop over tokens in the hot path)
+            ex = words.explode()
+            oov = ((~ex.isin(self.vocab)).groupby(level=0).sum()
+                   .reindex(words.index, fill_value=0)
+                   .to_numpy().astype("int64"))
+            nn = n.to_numpy()
             return pd.DataFrame({
-                "doc_id": batch["doc_id"].astype("int64"),
-                "n_tokens": n,
+                "doc_id": batch["doc_id"].to_numpy().astype("int64"),
+                "n_tokens": nn,
                 "n_oov": oov,
-                "oov_ratio": round_half_away(oov / n),
+                "oov_ratio": round_half_away(oov / nn),
             })
 
     from ..functions.pool import auto_pool
