@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_winnow_fp": _text.winnow_fingerprints,
         "text_repetition": _text.repetition_signals,
         "text_chunks": _text.chunk_docs,
+        "text_bpe_tokens": _text.bpe_token_count,
         # --- dedup family ---
         "dedup_exact": _dedup.exact_dedup,
         "dedup_minhash_clusters": _dedup.minhash_clusters,
@@ -377,6 +378,12 @@ def oracle_sql() -> dict[str, str]:
         "text_token_count": (
             f"SELECT doc_id, CAST(len({_TOKENS}) AS BIGINT) AS n_tokens "
             f"FROM documents ORDER BY doc_id"),
+        # BPE-ish pre-tokenizer census: letter runs / digit runs /
+        # single marks — the RE2-safe pattern matches Python exactly
+        "text_bpe_tokens": (
+            "SELECT doc_id, CAST(len(regexp_extract_all(text, "
+            "'[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_tokens "
+            "FROM documents ORDER BY doc_id"),
         "text_quality": (
             f"SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, "
             f"CAST(len({_TOKENS}) AS BIGINT) AS n_words, "

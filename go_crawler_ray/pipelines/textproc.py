@@ -60,6 +60,28 @@ def token_count(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+_BPE_ISH = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def bpe_token_count(sf_dir: str) -> pd.DataFrame:
+    """(doc_id, n_tokens) under a BPE-ish pre-tokenizer: maximal letter
+    runs, digit runs, and single non-alnum marks (the word/number/punct
+    split every BPE pre-tokenizer performs before merges). The pattern
+    is deliberately RE2-safe — no lookarounds — so the Python engine and
+    the DuckDB oracle tokenize identically. Vectorized: one
+    ``str.count`` kernel per batch, no per-row Python."""
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def counts(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"].astype("int64"),
+            "n_tokens": batch["text"].str.count(_BPE_ISH).astype("int64"),
+        })
+
+    out = ds.map_batches(counts, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def quality_scores(sf_dir: str) -> pd.DataFrame:
     """(doc_id, n_chars, n_words, avg_word_len, stopword_ratio) — cheap
     quality signals used by corpus-filtering pipelines."""

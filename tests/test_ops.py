@@ -505,6 +505,22 @@ class TestRelationalExtras:
         assert (got["gap_us"] >= 0).all()
         assert len(got) > 0
 
+    def test_bpe_ish_pattern_on_mixed_text(self):
+        """The RE2-safe BPE-ish pattern splits words/digits/marks the
+        same way via pandas str.count and re.findall — including inputs
+        richer than the word-soup corpus."""
+        import re
+
+        import pandas as pd
+        from go_crawler_ray.pipelines.textproc import _BPE_ISH
+
+        samples = ["don't stop-me now!!", "a1b2c3", "  ", "", "héllo...",
+                   "x+y=2 (obviously)", "tab\tsep\nline"]
+        got = pd.Series(samples).str.count(_BPE_ISH).tolist()
+        want = [len(re.findall(_BPE_ISH, s)) for s in samples]
+        assert got == want
+        assert len(re.findall(_BPE_ISH, "don't stop-me now!!")) == 9
+
     def test_chunk_docs_reconstructs_and_tiles(self):
         """Chunk explode: first chunk starts at 0, consecutive chunks
         overlap by exactly `overlap` tokens, the union reconstructs the

@@ -73,7 +73,7 @@ ORACLE_KEYS = [
     "text_vocab_topk", "sample_docs", "decontaminate", "epoch_shuffle",
     "curated_epoch", "text_repetition", "text_oov", "domain_balance",
     "pack_sequences", "event_asof_join", "revenue_percentiles",
-    "text_chunks",
+    "text_chunks", "text_bpe_tokens",
 ]
 
 
