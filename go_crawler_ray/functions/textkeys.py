@@ -23,3 +23,16 @@ def dedup_key_from_tokens(words: pd.Series, key_words: int = 3) -> pd.Series:
 def dedup_key(text: pd.Series, key_words: int = 3) -> pd.Series:
     """First-``key_words``-token key of each document."""
     return dedup_key_from_tokens(text.str.strip().str.split(_WS), key_words)
+
+
+def count_in_set(words: pd.Series, vocab) -> "np.ndarray":
+    """Per-row count of tokens that are members of ``vocab`` — the
+    vectorized stopword/vocab-hit kernel shared by quality scoring and
+    the curation pipelines (one explode + one isin + one index-level
+    sum; no Python loop over tokens)."""
+    import numpy as np
+
+    w = words.reset_index(drop=True)
+    ex = w.explode()
+    return (ex.isin(vocab).groupby(level=0).sum()
+            .reindex(w.index, fill_value=0).to_numpy().astype("int64"))

@@ -452,11 +452,13 @@ def curated_epoch(sf_dir: str, epoch: int = 0, min_words: int = 5,
                          columns=["doc_id", "text"])
 
     def stage1(batch: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.textkeys import count_in_set
+
         ids = batch["doc_id"].to_numpy().astype("int64")
         h = crc32_many(pc.cast(pa.array(ids), pa.string()))
         words = batch["text"].str.strip().str.split(_WS)
         n_words = words.str.len().astype("int64")
-        stop_n = words.map(lambda ws: sum(1 for w in ws if w in stop))
+        stop_n = count_in_set(words, stop)
         ok = (n_words >= min_words) & \
              ((stop_n / n_words) <= max_stopword_ratio)
         return pd.DataFrame({

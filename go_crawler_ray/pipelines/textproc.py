@@ -89,11 +89,13 @@ def quality_scores(sf_dir: str) -> pd.DataFrame:
     stop = set(STOPWORDS)
 
     def score(batch: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.textkeys import count_in_set
+
         text = batch["text"]
         words = text.str.strip().str.split(_WS)
         n_words = words.str.len().astype("int64")
         word_chars = text.str.replace(" ", "", regex=False).str.len()
-        stop_n = words.map(lambda ws: sum(1 for w in ws if w in stop))
+        stop_n = count_in_set(words, stop)
         return pd.DataFrame({
             "doc_id": batch["doc_id"],
             "n_chars": text.str.len().astype("int64"),
@@ -143,10 +145,12 @@ def curate(sf_dir: str, min_words: int = 5,
     stop = set(STOPWORDS)
 
     def stage1(batch: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.textkeys import count_in_set
+
         text = batch["text"]
         words = text.str.strip().str.split(_WS)
         n_words = words.str.len().astype("int64")
-        stop_n = words.map(lambda ws: sum(1 for w in ws if w in stop))
+        stop_n = count_in_set(words, stop)
         keep = (n_words >= min_words) & \
                ((stop_n / n_words) <= max_stopword_ratio)
         kept = batch[keep]
