@@ -454,19 +454,39 @@ def minhash_clusters(sf_dir: str, threshold: float = 0.8,
 # SimHash
 
 class SimHashStage:
-    """64-bit simhash of word-level features, vectorized per batch."""
+    """64-bit simhash of word-level features, vectorized per BATCH:
+    every token of the batch is crc-hashed in one table-driven pass
+    (functions.hashing.crc32_many == zlib.crc32 bit for bit), spread by
+    the 64-bit golden ratio, and the per-doc bit votes are segment sums
+    (np.add.reduceat over the doc boundaries) — no per-token Python.
+    Values are bit-identical to the per-doc zlib reference kernel,
+    which the brute-force parity test and the SQL crc32 oracle pin."""
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        out = np.empty(len(batch), dtype=np.uint64)
-        for i, text in enumerate(batch["text"]):
-            toks = _WS.split(text.strip())
-            hs = np.array([zlib.crc32(w.encode()) for w in toks],
-                          dtype=np.uint64)
-            hs = hs * np.uint64(0x9E3779B97F4A7C15)      # spread to 64 bits
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1)
-            votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
-            out[i] = np.packbits(votes > 0, bitorder="little").view(np.uint64)[0]
-        return pd.DataFrame({"doc_id": batch["doc_id"].astype("int64"),
+        # chunk internally so the (tokens x 64) sign matrix stays
+        # cache-sized whatever Ray's block size is (same discipline as
+        # the minhash kernel)
+        return pd.concat([self._chunk(batch.iloc[i:i + 512])
+                          for i in range(0, len(batch), 512)],
+                         ignore_index=True)
+
+    def _chunk(self, batch: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.hashing import crc32_many
+
+        toks = batch["text"].str.strip().str.split(_WS)
+        lens = toks.str.len().to_numpy().astype(np.int64)
+        flat = toks.explode()
+        hs = (crc32_many(pa.array(flat.to_numpy(dtype=object),
+                                  pa.string())).astype(np.uint64)
+              * np.uint64(0x9E3779B97F4A7C15))           # spread to 64 bits
+        signs = (2 * ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1)
+                 .astype(np.int64) - 1)                  # tokens x 64
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        votes = np.add.reduceat(signs, starts, axis=0)   # docs x 64
+        out = np.packbits(votes > 0, axis=1,
+                          bitorder="little").view(np.uint64).ravel()
+        return pd.DataFrame({"doc_id": batch["doc_id"].astype("int64")
+                             .to_numpy(),
                              "simhash": out.view(np.int64)})
 
 
