@@ -88,6 +88,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash_pairs": _dedup.simhash_near_pairs,
         "dedup_ngram_jaccard": _dedup.ngram_jaccard_pairs,
         "dedup_embedding_cosine": _dedup.embedding_near_pairs,
+        "dedup_embedding_clusters": _dedup.embedding_clusters,
+        "dedup_dup_spans": _dedup.duplicate_ngram_spans,
         # --- similarity search ---
         "ann_brute_force_topk": _ann.brute_force_topk,
         "ann_lsh_topk": _ann.lsh_topk,                      # rows-only
@@ -485,6 +487,43 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45 "
             "ORDER BY a, b"),
+        # embedding near-dup clusters = connected components of the
+        # exact cosine >= 0.45 pair graph (the engine's pair-finding is
+        # the pruned block grid — exact, so component equality holds
+        # unconditionally, unlike the banding-recall-conditioned minhash
+        # oracle)
+        "dedup_embedding_clusters": (
+            "WITH RECURSIVE prs AS (SELECT a.vec_id AS a, b.vec_id AS b "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.embedding, b.embedding) "
+            ">= 0.45), "
+            "edges AS (SELECT a AS u, b AS v FROM prs "
+            "UNION ALL SELECT b AS u, a AS v FROM prs), "
+            "reach(u, v) AS (SELECT vec_id, vec_id FROM embeddings "
+            "UNION SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v) "
+            "SELECT u AS vec_id, CAST(MIN(v) AS BIGINT) AS cluster_id "
+            "FROM reach GROUP BY u ORDER BY vec_id"),
+        # duplicated-k-gram spans (exact substring-level dedup at token
+        # 8-gram granularity): census -> >=2 occurrences -> per-doc
+        # island merge of overlapping/touching gram starts
+        "dedup_dup_spans": (
+            f"WITH tok AS (SELECT doc_id, {_TOKENS} AS t FROM documents), "
+            f"g AS (SELECT doc_id, i - 1 AS pos, "
+            f"array_to_string(t[i:i+7], ' ') AS gram "
+            f"FROM tok, UNNEST(range(1, len(t) - 6)) AS r(i)), "
+            f"dup AS (SELECT gram FROM g GROUP BY gram "
+            f"HAVING COUNT(*) >= 2), "
+            f"occ AS (SELECT doc_id, pos FROM g JOIN dup USING (gram)), "
+            f"lagd AS (SELECT doc_id, pos, CASE WHEN pos - LAG(pos) OVER "
+            f"(PARTITION BY doc_id ORDER BY pos) <= 8 THEN 0 ELSE 1 END "
+            f"AS brk FROM occ), "
+            f"isl AS (SELECT doc_id, pos, SUM(brk) OVER (PARTITION BY "
+            f"doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            f"CURRENT ROW) AS island FROM lagd) "
+            f"SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start, "
+            f"CAST(MAX(pos) + 8 AS BIGINT) AS span_end, "
+            f"COUNT(*) AS n_dup_grams "
+            f"FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start"),
         "ann_brute_force_topk": (
             "WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8), "
             "sims AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, "

@@ -679,6 +679,83 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5,
 
 
 # ---------------------------------------------------------------------------
+# exact duplicate-substring spans (token n-gram granularity)
+
+def duplicate_ngram_spans(sf_dir: str, k: int = 8) -> pd.DataFrame:
+    """(doc_id, span_start, span_end, n_dup_grams): maximal token spans
+    covered by duplicated ``k``-grams — exact substring-level dedup at
+    token-n-gram granularity (after Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", which uses suffix
+    arrays; the n-gram census is the shuffle-friendly equivalent at a
+    fixed minimum match length).
+
+    A k-gram is *duplicated* iff it occurs >= 2 times corpus-wide
+    (across docs or repeated within one). Per doc, overlapping or
+    touching duplicated-gram occurrences (next start <= prev start + k)
+    merge into one maximal span [span_start, span_end).
+
+    Shape: ONE groupby(gram) all-to-all over the corpus's token-gram
+    rows (the canonical census shuffle) -> survivors >= 2 -> ONE
+    groupby(doc) whose island-merge is pure vectorized numpy. Grams
+    stay strings so the SQL oracle is value-exact; at 100 TB you'd
+    groupby a 128-bit gram hash instead (collision-safe in expectation)
+    and keep this as the verify kernel."""
+
+    def gram_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        grams: list[str] = []
+        ids: list[int] = []
+        pos: list[int] = []
+        for d, t in zip(batch["doc_id"], batch["text"]):
+            toks = _WS.split(t.strip())
+            n = len(toks)
+            for i in range(n - k + 1):
+                grams.append(" ".join(toks[i:i + k]))
+                ids.append(int(d))
+                pos.append(i)
+        return pd.DataFrame({"gram": grams,
+                             "doc_id": np.array(ids, dtype="int64"),
+                             "pos": np.array(pos, dtype="int64")})
+
+    def dup_occurrences(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"doc_id": np.array([], dtype="int64"),
+                                 "pos": np.array([], dtype="int64")})
+        return g[["doc_id", "pos"]]
+
+    def merge_spans(g: pd.DataFrame) -> pd.DataFrame:
+        pos = np.sort(g["pos"].to_numpy())
+        brk = np.empty(len(pos), dtype=bool)
+        brk[0] = True
+        brk[1:] = np.diff(pos) > k          # gap: spans neither overlap nor touch
+        island = np.cumsum(brk) - 1
+        starts = pos[brk]
+        df = pd.DataFrame({"island": island, "pos": pos})
+        agg = df.groupby("island", sort=True)["pos"].agg(["max", "size"])
+        return pd.DataFrame({
+            "doc_id": np.full(len(starts), int(g["doc_id"].iloc[0]),
+                              dtype="int64"),
+            "span_start": starts.astype("int64"),
+            "span_end": (agg["max"].to_numpy() + k).astype("int64"),
+            "n_dup_grams": agg["size"].to_numpy().astype("int64"),
+        })
+
+    out = (_read_docs(sf_dir, ["doc_id", "text"], _docs_blocks(sf_dir))
+           .map_batches(gram_rows, batch_format="pandas")
+           .groupby("gram")
+           .map_groups(dup_occurrences, batch_format="pandas")
+           .groupby("doc_id")
+           .map_groups(merge_spans, batch_format="pandas")
+           .to_pandas())
+    if out.empty:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "span_start": pd.Series(dtype="int64"),
+                             "span_end": pd.Series(dtype="int64"),
+                             "n_dup_grams": pd.Series(dtype="int64")})
+    return (out.astype({c: "int64" for c in out.columns})
+            .sort_values(["doc_id", "span_start"]).reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
 # embedding-cosine near-dup
 
 @ray.remote
@@ -706,10 +783,10 @@ def _block_angular_stats(tbl: pa.Table) -> tuple:
     return c, float(ang.max())
 
 
-def embedding_near_pairs(sf_dir: str, threshold: float = 0.45,
-                         n_clusters: int = 16, n_train: int = 2048,
-                         seed: int = 13) -> pd.DataFrame:
-    """(a, b, cos) for vector pairs with cosine >= threshold — an EXACT
+def _embedding_pairs_ds(sf_dir: str, threshold: float = 0.45,
+                        n_clusters: int = 16, n_train: int = 2048,
+                        seed: int = 13) -> rd.Dataset:
+    """(a, b, cos) pair DATASET with cosine >= threshold — an EXACT
     cosine similarity self-join, computed as a pivot-partitioned
     block-pair matmul with angular triangle-inequality pruning:
 
@@ -846,10 +923,50 @@ def embedding_near_pairs(sf_dir: str, threshold: float = 0.45,
             return (pd.concat(out, ignore_index=True) if out
                     else pd.DataFrame({"a": [], "b": [], "cos": []}))
 
-    out = (rd.from_items(grid)
-           .map_batches(BlockPairCosine, batch_format="pandas",
-                        batch_size=4, concurrency=auto_pool(),
-                        fn_constructor_kwargs={"refs": refs})
-           .to_pandas())
+    return rd.from_items(grid).map_batches(
+        BlockPairCosine, batch_format="pandas", batch_size=4,
+        concurrency=auto_pool(), fn_constructor_kwargs={"refs": refs})
+
+
+def embedding_near_pairs(sf_dir: str, threshold: float = 0.45,
+                         n_clusters: int = 16, n_train: int = 2048,
+                         seed: int = 13) -> pd.DataFrame:
+    """(a, b, cos) rows of :func:`_embedding_pairs_ds`, sorted — the
+    exact cosine self-join surface (driver holds only the final pairs)."""
+    out = _embedding_pairs_ds(sf_dir, threshold, n_clusters, n_train,
+                              seed).to_pandas()
     out = out.astype({"a": "int64", "b": "int64"})
     return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def embedding_clusters(sf_dir: str, threshold: float = 0.45) -> pd.DataFrame:
+    """(vec_id, cluster_id): connected components of the exact
+    cosine >= ``threshold`` pair graph; cluster_id = component min.
+    Vectors with no near-neighbor are their own cluster.
+
+    Same fully-distributed composition as :func:`minhash_clusters`:
+    the pair graph comes from the pruned block-pair matmul
+    (:func:`_embedding_pairs_ds`, exact — so the clusters admit a
+    recursive-CTE SQL oracle), components from the Hash-to-Min groupby
+    rounds (:func:`_min_label_components`), and the final assignment is
+    a broadcast label map over a streaming vec_id read. The driver only
+    holds the O(near-dup nodes) label table."""
+    pairs_ds = _embedding_pairs_ds(sf_dir, threshold).materialize()
+
+    labels: dict[int, int] = {}
+    if pairs_ds.count():
+        lab = _min_label_components(pairs_ds)
+        labels = dict(zip(lab["node"].astype(int), lab["label"].astype(int)))
+    lab_ref = ray.put(labels)
+
+    def assign_cluster(batch: pd.DataFrame) -> pd.DataFrame:
+        lab = ray.get(lab_ref)
+        ids = batch["vec_id"].astype("int64")
+        cl = ids.map(lab).fillna(ids).astype("int64")
+        return pd.DataFrame({"vec_id": ids, "cluster_id": cl})
+
+    out = (rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id"])
+           .map_batches(assign_cluster, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values("vec_id").reset_index(drop=True)

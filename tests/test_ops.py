@@ -25,6 +25,91 @@ class TestDedup:
         for (ids,) in dup_groups:
             assert len({cl[i] for i in ids}) == 1, f"dup group {ids} split"
 
+    def test_dup_spans_planted_run_and_island_merge(self, tmp_path):
+        """Two docs share a 12-token run at different offsets; a third is
+        unique. Expect exactly one maximal span per sharing doc covering
+        the run, nothing for the unique doc — and the span width must be
+        run_len (islands of overlapping 8-grams merged, not per-gram
+        rows)."""
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from go_crawler_ray.pipelines.dedup import duplicate_ngram_spans
+
+        run = " ".join(f"shared{i}" for i in range(12))
+        docs = pd.DataFrame({
+            "doc_id": pd.array([0, 1, 2], dtype="int64"),
+            "text": [
+                "alpha beta " + run + " gamma delta",        # run at tok 2
+                run + " epsilon zeta eta theta",             # run at tok 0
+                " ".join(f"unique{i}" for i in range(30)),
+            ],
+        })
+        pq.write_table(pa.Table.from_pandas(docs),
+                       str(tmp_path / "documents.parquet"))
+        out = duplicate_ngram_spans(str(tmp_path))
+        assert list(out["doc_id"]) == [0, 1]
+        # doc 0: grams 2..6 duplicated (5 grams), span [2, 2+4+8) = [2, 14)
+        r0 = out[out["doc_id"] == 0].iloc[0]
+        assert (r0["span_start"], r0["span_end"], r0["n_dup_grams"]) \
+            == (2, 14, 5)
+        r1 = out[out["doc_id"] == 1].iloc[0]
+        assert (r1["span_start"], r1["span_end"], r1["n_dup_grams"]) \
+            == (0, 12, 5)
+
+    def test_dup_spans_within_doc_repeat_counts(self, tmp_path):
+        """A k-gram repeated WITHIN one doc is duplicated (count >= 2
+        corpus-wide), and two occurrences far apart stay separate
+        islands."""
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from go_crawler_ray.pipelines.dedup import duplicate_ngram_spans
+
+        run = " ".join(f"w{i}" for i in range(8))            # exactly one 8-gram
+        filler = " ".join(f"f{i}" for i in range(20))
+        docs = pd.DataFrame({
+            "doc_id": pd.array([7], dtype="int64"),
+            "text": [run + " " + filler + " " + run],
+        })
+        pq.write_table(pa.Table.from_pandas(docs),
+                       str(tmp_path / "documents.parquet"))
+        out = duplicate_ngram_spans(str(tmp_path))
+        assert len(out) == 2
+        assert list(out["span_start"]) == [0, 28]
+        assert list(out["span_end"]) == [8, 36]
+
+    def test_embedding_clusters_transitive_chain(self, tmp_path):
+        """A~B and B~C above threshold but A!~C: components must still
+        place all three in ONE cluster labeled min(vec_id) — the
+        Hash-to-Min rounds propagate labels transitively, not just over
+        direct pairs."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from go_crawler_ray.pipelines.dedup import embedding_clusters
+
+        def unit(v):
+            v = np.asarray(v, dtype="float64")
+            return v / np.linalg.norm(v)
+
+        a = unit([1.0, 0.0])
+        b = unit([1.0, 1.0])      # cos(a,b) = cos(b,c) ~= 0.707
+        c = unit([0.0, 1.0])      # cos(a,c) = 0 < threshold
+        d = unit([-1.0, -1.0])    # isolated
+        tbl = pa.table({
+            "vec_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "embedding": pa.array([list(a), list(b), list(c), list(d)],
+                                  pa.list_(pa.float64())),
+        })
+        pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+        out = embedding_clusters(str(tmp_path), threshold=0.5)
+        got = dict(zip(out["vec_id"], out["cluster_id"]))
+        assert got == {0: 0, 1: 0, 2: 0, 3: 3}
+
     def test_exact_dedup_covers_all_docs(self):
         from go_crawler_ray.pipelines.dedup import exact_dedup
 

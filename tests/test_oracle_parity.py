@@ -67,6 +67,7 @@ ORACLE_KEYS = [
     "text_curation", "text_winnow_fp", "text_langid",
     "dedup_exact", "dedup_embedding_cosine", "dedup_ngram_jaccard",
     "dedup_minhash_clusters", "dedup_simhash_pairs", "dedup_simhash",
+    "dedup_embedding_clusters", "dedup_dup_spans",
     "ann_brute_force_topk",
     "multimodal_media_meta", "multimodal_resize", "multimodal_frames",
     "multimodal_features",
