@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_repetition": _text.repetition_signals,
         "text_chunks": _text.chunk_docs,
         "text_bpe_tokens": _text.bpe_token_count,
+        "text_tfidf": _text.tfidf_topk,
         # --- dedup family ---
         "dedup_exact": _dedup.exact_dedup,
         "dedup_minhash_clusters": _dedup.minhash_clusters,
@@ -108,6 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_oov": _sample.oov_ratio,
         "domain_balance": _sample.domain_balance,
         "pack_sequences": _sample.pack_sequences,
+        "approx_distinct_tokens": _sample.approx_distinct_tokens,
     }
 
 
@@ -568,6 +570,52 @@ def oracle_sql() -> dict[str, str]:
             "LEAST(4, GREATEST(octet_length(encode(text)), 1)) AS k "
             "FROM documents) CROSS JOIN generate_series(0, 3) AS g(i) "
             "WHERE i < k ORDER BY doc_id, frame_idx"),
+        # per-doc top-5 tf-idf words; the cut orders by the RAW double
+        # score (identical arithmetic: tf * ln(N/df)), rounding applies
+        # only to the reported value
+        "text_tfidf": (
+            f"WITH tok AS (SELECT doc_id, unnest({_TOKENS}) AS word "
+            f"FROM documents), "
+            f"post AS (SELECT doc_id, word, COUNT(*) AS tf FROM tok "
+            f"GROUP BY doc_id, word), "
+            f"scored AS (SELECT doc_id, word, "
+            f"tf * ln(CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) "
+            f"/ COUNT(*) OVER (PARTITION BY word)) AS raw FROM post), "
+            f"cut AS (SELECT doc_id, word, raw, ROW_NUMBER() OVER ("
+            f"PARTITION BY doc_id ORDER BY raw DESC, word) AS rn "
+            f"FROM scored) "
+            f"SELECT doc_id, word, ROUND(raw, 4) AS tfidf FROM cut "
+            f"WHERE rn <= 5 ORDER BY doc_id, raw DESC, word"),
+        # deterministic HyperLogLog (m=1024, crc32 spread by the 64-bit
+        # golden-ratio multiply — raw crc32's leading-zero stats are
+        # biased on similar strings): bucket = top 10 bits of the
+        # spread value, rank = 1 + leading zeros of bits 32..53; the
+        # register table, zero count and harmonic sum are dyadic-exact
+        # in double, so the ESTIMATE is value-exact across engines.
+        # 1/(1<<rank) keeps the SQL power-of-two arithmetic exact.
+        "approx_distinct_tokens": (
+            f"WITH tok AS (SELECT DISTINCT unnest({_TOKENS}) AS word "
+            f"FROM documents), "
+            f"h AS (SELECT CAST(({_crc32_sql('word')}::HUGEINT * "
+            f"11400714819323198485::HUGEINT) % "
+            f"18446744073709551616::HUGEINT AS HUGEINT) AS hv FROM tok), "
+            f"bw AS (SELECT CAST(hv // 18014398509481984::HUGEINT "
+            f"AS BIGINT) AS bucket, "
+            f"CAST((hv // 4294967296::HUGEINT) % 4194304 AS BIGINT) AS w "
+            f"FROM h), "
+            f"reg AS (SELECT bucket, "
+            f"MAX(CASE WHEN w = 0 THEN 23 "
+            f"ELSE 23 - length(format('{{:b}}', w)) END) AS rank "
+            f"FROM bw GROUP BY bucket), "
+            f"s AS (SELECT COUNT(*) AS nb, "
+            f"SUM(1.0 / CAST(1 << rank AS DOUBLE)) AS hsum FROM reg), "
+            f"e AS (SELECT nb, (0.7213 / (1 + 1.079 / 1024)) * 1024 * 1024 "
+            f"/ (hsum + (1024 - nb)) AS raw FROM s) "
+            f"SELECT CAST(1024 AS BIGINT) AS m, "
+            f"CAST(1024 - nb AS BIGINT) AS n_zero_registers, "
+            f"ROUND(CASE WHEN raw <= 2560.0 AND nb < 1024 "
+            f"THEN 1024 * ln(1024.0 / (1024 - nb)) ELSE raw END, 4) "
+            f"AS estimate FROM e"),
         # global token census, (n desc, word asc) tie-break = the
         # deterministic top-k cut
         "text_vocab_topk": (

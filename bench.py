@@ -163,6 +163,8 @@ def run_bench() -> dict:
             ("pack_sequences", _sample.pack_sequences),
             ("dedup_exact", _dedup.exact_dedup),
             ("dedup_minhash_clusters", _dedup.minhash_clusters),
+            ("dedup_dup_spans", _dedup.duplicate_ngram_spans),
+            ("dedup_embedding_clusters", _dedup.embedding_clusters),
             ("ann_brute_force_topk", _ann.brute_force_topk),
         ]:
             t0 = time.time()

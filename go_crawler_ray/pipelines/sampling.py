@@ -509,3 +509,73 @@ def curated_epoch(sf_dir: str, epoch: int = 0, min_words: int = 5,
                              "shuffle_rank": pd.Series(dtype="int64")})
     out = _rank_keyed(keyed, nb)
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def approx_distinct_tokens(sf_dir: str, log2m: int = 10) -> pd.DataFrame:
+    """Deterministic HyperLogLog estimate of the corpus's distinct
+    whitespace-token count (Flajolet et al. 2007, "HyperLogLog: the
+    analysis of a near-optimal cardinality estimation algorithm").
+
+    The hash is crc32 (functions/hashing.py == zlib.crc32) spread by
+    the 64-bit golden-ratio multiply mod 2^64 (same mix the simhash
+    kernel uses — raw crc32 is affine over GF(2), and its leading-zero
+    statistics on similar strings are correlated enough to bias the
+    estimate ~35% on a sequential vocabulary; the odd-multiplier mix
+    leaves the HIGH bits uniform). Bucket = top ``log2m`` bits of the
+    spread value, rank = 1 + leading-zero count of the next 22 bits
+    (via exact frexp bit-length, no float log), register = max rank.
+    The sketch — registers, zero count, estimate — is therefore
+    bit-reproducible on any cluster shape AND re-derivable in SQL
+    (HUGEINT modular multiply, as the simhash oracle already does).
+    All register values and the harmonic sum are dyadic rationals well
+    inside double precision, so the estimate is value-exact across
+    engines, not just approximately equal.
+
+    Scale shape — the textbook mergeable sketch: each block emits its
+    partial registers as (bucket, rank) maxima (<= m rows per block),
+    ONE groupby(bucket).max shuffle over <= m * blocks tiny rows merges
+    them, and the driver folds <= m rows into the estimate. The corpus
+    itself never shuffles.
+
+    Returns one row: (m, n_zero_registers, estimate).
+    """
+    m = 1 << log2m
+    wbits = 32 - log2m
+
+    def partial_registers(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = (batch["text"].str.strip().str.split(_WS).explode()
+                .dropna().unique())
+        if not len(toks):
+            return pd.DataFrame({"bucket": pd.Series(dtype="int64"),
+                                 "rank": pd.Series(dtype="int64")})
+        h64 = (crc32_many(pa.array(toks, pa.string())).astype(np.uint64)
+               * np.uint64(0x9E3779B97F4A7C15))
+        bucket = (h64 >> np.uint64(64 - log2m)).astype("int64")
+        w = ((h64 >> np.uint64(32)) & np.uint64((1 << wbits) - 1)) \
+            .astype("int64")
+        # exact integer bit length via frexp (no float log): for w > 0,
+        # frexp exponent == bit_length; rank = 1 + leading zeros
+        bl = np.frexp(w.astype("float64"))[1].astype("int64")
+        rank = np.where(w > 0, wbits + 1 - bl, wbits + 1).astype("int64")
+        df = pd.DataFrame({"bucket": bucket, "rank": rank})
+        return (df.groupby("bucket", sort=False)["rank"].max()
+                .reset_index())
+
+    reg = (rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+           .map_batches(partial_registers, batch_format="pandas")
+           .groupby("bucket").max("rank")
+           .to_pandas())
+    ranks = np.zeros(m, dtype="int64")
+    ranks[reg["bucket"].to_numpy()] = reg["max(rank)"].to_numpy()
+    n_zero = int((ranks == 0).sum())
+    alpha = 0.7213 / (1 + 1.079 / m)
+    harm = float(np.sum(np.ldexp(1.0, -ranks)))     # exact dyadic sum
+    est = alpha * m * m / harm
+    if est <= 2.5 * m and n_zero > 0:
+        est = m * np.log(m / n_zero)                # linear-counting range
+    from ..functions.compat import round_half_away
+
+    return pd.DataFrame({"m": pd.array([m], dtype="int64"),
+                         "n_zero_registers": pd.array([n_zero],
+                                                      dtype="int64"),
+                         "estimate": round_half_away(np.array([est]))})

@@ -366,3 +366,64 @@ def langid(sf_dir: str) -> pd.DataFrame:
     out = ds.map_batches(LangIdStage, batch_format="pandas",
                          concurrency=auto_pool()).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def tfidf_topk(sf_dir: str, k: int = 5) -> pd.DataFrame:
+    """(doc_id, word, tfidf): each doc's top-``k`` whitespace tokens by
+    tf-idf, tf = raw in-doc count, idf = ln(N / df) with df = number of
+    docs containing the word. Ties break (tfidf desc, word asc); scores
+    rounded half-away to 4 places AFTER the cut.
+
+    Scale shape — two key-colocating shuffles, no vocabulary broadcast:
+    1. per-batch (word, doc_id, tf) postings via one explode +
+       value_counts (the inverted-index build);
+    2. groupby(word): df = group size (each doc appears once per word),
+       score every posting in place — idf needs nothing but the group
+       and the constant N (parquet row count, no extra pass);
+    3. groupby(doc_id): per-doc top-k cut, vectorized sort + head.
+    The driver receives only the k * N_docs result rows. At 100 TB both
+    shuffles carry the postings table, which is the irreducible payload
+    of exact tf-idf.
+    """
+    import pyarrow.parquet as _pq
+
+    n_docs = _pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+
+    def postings(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = (batch["text"].str.strip().str.split(_WS)
+                .reset_index(drop=True))
+        ids = batch["doc_id"].reset_index(drop=True)
+        ex = toks.explode()
+        df = pd.DataFrame({"doc_id": ids.reindex(ex.index).to_numpy(),
+                           "word": ex.to_numpy()})
+        g = (df.groupby(["doc_id", "word"], sort=False).size()
+             .reset_index(name="tf"))
+        return pd.DataFrame({"word": g["word"].to_numpy(dtype=object),
+                             "doc_id": g["doc_id"].astype("int64"),
+                             "tf": g["tf"].astype("int64")})
+
+    def score(g: pd.DataFrame) -> pd.DataFrame:
+        idf = np.log(n_docs / len(g))
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].astype("int64"),
+            "word": g["word"],
+            "tfidf_raw": g["tf"].to_numpy() * idf,
+        })
+
+    def doc_topk(g: pd.DataFrame) -> pd.DataFrame:
+        cut = g.sort_values(["tfidf_raw", "word"],
+                            ascending=[False, True]).head(k)
+        return pd.DataFrame({
+            "doc_id": cut["doc_id"].astype("int64"),
+            "word": cut["word"],
+            "tfidf": round_half_away(cut["tfidf_raw"].to_numpy()),
+        })
+
+    out = (_read_docs(sf_dir, ["doc_id", "text"])
+           .map_batches(postings, batch_format="pandas")
+           .groupby("word").map_groups(score, batch_format="pandas")
+           .groupby("doc_id").map_groups(doc_topk, batch_format="pandas")
+           .to_pandas())
+    return (out.sort_values(["doc_id", "tfidf", "word"],
+                            ascending=[True, False, True])
+            .reset_index(drop=True))

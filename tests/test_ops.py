@@ -748,3 +748,77 @@ class TestDegeneratePivots:
         key_of = dict(zip(docs["doc_id"], key))
         assert all(bucket_of[d] < 900 and key_of[d] not in hold
                    for d in got_ids)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTfIdfAndSketch:
+    def test_tfidf_matches_direct_computation(self, tmp_path):
+        """Tiny corpus where tf-idf is hand-checkable: a word in every
+        doc has idf = ln(1) = 0 and can never out-rank a rarer word."""
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from go_crawler_ray.pipelines.textproc import tfidf_topk
+
+        docs = pd.DataFrame({
+            "doc_id": pd.array([0, 1, 2], dtype="int64"),
+            "text": [
+                "common rare rare common common",
+                "common unique1 unique1 unique1",
+                "common solo",
+            ],
+        })
+        pq.write_table(pa.Table.from_pandas(docs),
+                       str(tmp_path / "documents.parquet"))
+        out = tfidf_topk(str(tmp_path), k=2)
+        # every doc's top word is its rarest (df=1) highest-tf token;
+        # 'common' (df=3 -> idf=0) ranks below any df=1 word
+        top = out.groupby("doc_id").first()["word"]
+        assert list(top) == ["rare", "unique1", "solo"]
+        r = out[(out["doc_id"] == 0) & (out["word"] == "rare")]["tfidf"]
+        assert np.isclose(float(r.iloc[0]), 2 * np.log(3.0), atol=5e-5)
+        # idf-0 words score exactly 0.0
+        z = out[out["word"] == "common"]["tfidf"]
+        assert (z == 0.0).all()
+
+    def test_hll_accuracy_and_block_invariance(self, tmp_path):
+        """20k-distinct-token corpus: the m=1024 HLL estimate must land
+        within 3 standard errors (~1.04/sqrt(m) each), and the sketch
+        must be IDENTICAL however the corpus is blocked (mergeability =
+        elementwise register max)."""
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from go_crawler_ray.pipelines import sampling as S
+
+        rng = np.random.default_rng(3)
+        words = [f"w{i}" for i in range(20_000)]
+        texts = [" ".join(rng.choice(words, size=200))
+                 for _ in range(400)]
+        n_exact = len({w for t in texts for w in t.split()})
+        docs = pd.DataFrame({
+            "doc_id": pd.array(range(400), dtype="int64"), "text": texts})
+        pq.write_table(pa.Table.from_pandas(docs),
+                       str(tmp_path / "documents.parquet"))
+
+        out = S.approx_distinct_tokens(str(tmp_path))
+        est = float(out["estimate"].iloc[0])
+        assert abs(est - n_exact) / n_exact < 3 * 1.04 / np.sqrt(1024)
+
+        import ray.data as rd
+        orig = rd.read_parquet
+
+        def tiny_blocks(path, columns=None, **kw):
+            kw.pop("override_num_blocks", None)
+            return orig(path, columns=columns, override_num_blocks=37)
+
+        rd.read_parquet, saved = tiny_blocks, rd.read_parquet
+        try:
+            out2 = S.approx_distinct_tokens(str(tmp_path))
+        finally:
+            rd.read_parquet = saved
+        pd.testing.assert_frame_equal(out, out2)
