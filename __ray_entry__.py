@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders_per_segment": _rel.top_orders_per_segment,
         "user_sessions": _rel.user_sessions,
         "event_asof_join": _rel.event_asof_join,
+        "order_revenue_topk": _rel.order_revenue_topk,
         "revenue_percentiles": _rel.revenue_percentiles,
         # --- text analysis ---
         "text_token_count": _text.token_count,
@@ -368,6 +369,17 @@ def oracle_sql() -> dict[str, str]:
             "WHERE c.user_id = p.user_id AND c.ts <= p.ts "
             "ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) l ON TRUE "
             "ORDER BY purchase_id"),
+        # reduce-side large×large join: lineitem revenue per order,
+        # co-shuffled with orders on the order key; the cut orders by
+        # RAW revenue (rounding only on the report)
+        "order_revenue_topk": (
+            "SELECT o_orderkey, c_mktsegment, ROUND(rev, 4) AS revenue "
+            "FROM (SELECT o_orderkey, c_mktsegment, "
+            "SUM(l_extendedprice * (1 - l_discount)) AS rev "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "GROUP BY o_orderkey, c_mktsegment) "
+            "ORDER BY rev DESC, o_orderkey LIMIT 20"),
         # exact order statistics: the engine's histogram-select must
         # reproduce the value at sorted offset floor(pct * (n-1))
         "revenue_percentiles": (

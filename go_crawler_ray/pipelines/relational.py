@@ -500,3 +500,96 @@ def revenue_percentiles(
         vals.append(np.partition(inb, j)[j])
     return pd.DataFrame({"pct": np.array(pcts, dtype="float64"),
                          "value": round_half_away(np.array(vals))})
+
+
+# ---------------------------------------------------------------------------
+# reduce-side join: lineitem ⋈ orders co-shuffled on the order key — the
+# large×large join shape (every other join here broadcasts a small side)
+
+def order_revenue_topk(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Top-``k`` orders by total lineitem revenue, with the customer's
+    market segment: (o_orderkey, c_mktsegment, revenue).
+
+    The lineitem⋈orders join is LARGE×LARGE, so it runs as a classic
+    reduce-side join — no broadcast:
+    1. lineitem: per-batch partial revenue combine per order key (the
+       combiner halves the shuffle payload to one row per key per
+       block);
+    2. orders: slim (key, custkey) rows;
+    3. both sides tagged and unioned, then ONE groupby(order key)
+       co-shuffle; each group joins locally (sum the side-1 partials,
+       take side-0's custkey) — inner join: keys missing either side
+       emit nothing;
+    4. the customer→segment map IS small, so it stays a broadcast
+       lookup (the rule: broadcast small sides, shuffle big ones);
+    5. top-k = per-block partial top-k + a k×blocks driver merge, cut
+       on the RAW revenue (rounding only on the report).
+
+    At scale the single co-shuffle reuses one partitioning key
+    end-to-end; skew is bounded (≤ 7 lineitems per order in TPC-H).
+    """
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    seg_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+
+    def li_partial(batch: pa.Table) -> pd.DataFrame:
+        rev = pc.multiply(batch["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        t = pa.table({"okey": batch["l_orderkey"], "revenue": rev})
+        agg = t.group_by("okey").aggregate([("revenue", "sum")]).to_pandas()
+        return pd.DataFrame({
+            "okey": agg["okey"].astype("int64"),
+            "side": np.int8(1),
+            "custkey": np.int64(-1),
+            "revenue": agg["revenue_sum"].astype("float64"),
+        })
+
+    def orders_rows(batch: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame({
+            "okey": batch["o_orderkey"].to_numpy().astype("int64"),
+            "side": np.int8(0),
+            "custkey": batch["o_custkey"].to_numpy().astype("int64"),
+            "revenue": np.float64(0.0),
+        })
+
+    def join_group(g: pd.DataFrame) -> pd.DataFrame:
+        sides = g["side"].to_numpy()
+        has0 = (sides == 0).any()
+        m1 = sides == 1
+        if not (has0 and m1.any()):
+            return pd.DataFrame({"o_orderkey": pd.Series(dtype="int64"),
+                                 "custkey": pd.Series(dtype="int64"),
+                                 "revenue": pd.Series(dtype="float64")})
+        return pd.DataFrame({
+            "o_orderkey": [int(g["okey"].iloc[0])],
+            "custkey": [int(g.loc[g.index[sides == 0][0], "custkey"])],
+            "revenue": [float(g.loc[m1, "revenue"].sum())],
+        })
+
+    class TopKWithSegment:
+        def __init__(self):
+            self.seg = ray.get(seg_ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            cut = batch.sort_values(["revenue", "o_orderkey"],
+                                    ascending=[False, True]).head(k)
+            return pd.DataFrame({
+                "o_orderkey": cut["o_orderkey"].astype("int64"),
+                "c_mktsegment": cut["custkey"].map(self.seg),
+                "revenue": cut["revenue"].astype("float64"),
+            })
+
+    joined = (li.map_batches(li_partial, batch_format="pyarrow")
+              .union(orders.map_batches(orders_rows, batch_format="pyarrow"))
+              .groupby("okey")
+              .map_groups(join_group, batch_format="pandas")
+              .map_batches(TopKWithSegment, batch_format="pandas",
+                           concurrency=auto_pool(frac=0.5))
+              .to_pandas())
+    out = (joined.sort_values(["revenue", "o_orderkey"],
+                              ascending=[False, True]).head(k)
+           .reset_index(drop=True))
+    out["revenue"] = round_half_away(out["revenue"])
+    return out

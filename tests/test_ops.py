@@ -822,3 +822,37 @@ class TestTfIdfAndSketch:
         finally:
             rd.read_parquet = saved
         pd.testing.assert_frame_equal(out, out2)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestReduceSideJoin:
+    def test_order_revenue_matches_pandas_join(self):
+        """The co-shuffled reduce-side join must equal a driver-side
+        pandas merge+agg end to end (keys, segments, raw-revenue
+        ordering), and respect inner-join semantics."""
+        import duckdb
+        import pandas as pd
+
+        from go_crawler_ray.pipelines.relational import order_revenue_topk
+
+        got = order_revenue_topk(SF)
+        con = duckdb.connect()
+        li = con.sql(f"SELECT l_orderkey, l_extendedprice, l_discount "
+                     f"FROM read_parquet('{SF}/lineitem.parquet')").df()
+        orders = con.sql(f"SELECT o_orderkey, o_custkey FROM "
+                         f"read_parquet('{SF}/orders.parquet')").df()
+        cust = con.sql(f"SELECT c_custkey, c_mktsegment FROM "
+                       f"read_parquet('{SF}/customer.parquet')").df()
+        li["rev"] = li["l_extendedprice"] * (1 - li["l_discount"])
+        agg = li.groupby("l_orderkey", as_index=False)["rev"].sum()
+        j = (agg.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+             .merge(cust, left_on="o_custkey", right_on="c_custkey"))
+        want = (j.sort_values(["rev", "o_orderkey"],
+                              ascending=[False, True]).head(20)
+                .reset_index(drop=True))
+        assert list(got["o_orderkey"]) == list(want["o_orderkey"])
+        assert list(got["c_mktsegment"]) == list(want["c_mktsegment"])
+        assert np.allclose(got["revenue"], want["rev"].round(4), atol=1e-4)
+        # inner-join: every result key exists on both sides
+        assert got["o_orderkey"].isin(orders["o_orderkey"]).all()
+        assert got["o_orderkey"].isin(li["l_orderkey"]).all()

@@ -75,7 +75,7 @@ ORACLE_KEYS = [
     "curated_epoch", "text_repetition", "text_oov", "domain_balance",
     "pack_sequences", "event_asof_join", "revenue_percentiles",
     "text_chunks", "text_bpe_tokens",
-    "text_tfidf", "approx_distinct_tokens",
+    "text_tfidf", "approx_distinct_tokens", "order_revenue_topk",
 ]
 
 
