@@ -425,6 +425,30 @@ def event_asof_join(sf_dir: str, left_type: str = "purchase",
 # ---------------------------------------------------------------------------
 # Exact distributed percentiles: histogram-select order statistics
 
+def _revenue_bounds_from_stats(path: str):
+    """(mn, mx, n) bounds for l_extendedprice * (1 - l_discount) from
+    parquet row-group statistics alone — no data read. The product's
+    range over [pmin,pmax] x [1-dmax,1-dmin] is attained at a corner
+    (bilinear over a box), so corner products bound it for ANY signs.
+    Returns (None, None, n) when any row group lacks statistics."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    names = [md.schema.column(i).name for i in range(md.num_columns)]
+    pi, di = names.index("l_extendedprice"), names.index("l_discount")
+    corners = []
+    for g in range(md.num_row_groups):
+        ps = md.row_group(g).column(pi).statistics
+        ds_ = md.row_group(g).column(di).statistics
+        if (ps is None or ds_ is None or not ps.has_min_max
+                or not ds_.has_min_max):
+            return None, None, md.num_rows
+        for p in (ps.min, ps.max):
+            for f in (1.0 - ds_.max, 1.0 - ds_.min):
+                corners.append(p * f)
+    return float(min(corners)), float(max(corners)), md.num_rows
+
+
 def revenue_percentiles(
         sf_dir: str,
         pcts: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
@@ -433,7 +457,11 @@ def revenue_percentiles(
     (``l_extendedprice * (1 - l_discount)``) WITHOUT a global sort —
     the classic distributed order-statistics selection:
 
-    1. one streaming pass: per-batch (min, max, count) partials;
+    1. value-range bounds from parquet ROW-GROUP STATISTICS — zero data
+       read: the derived column's bounds are the corner products of the
+       price/discount column bounds (a covering range is all the
+       histogram needs; exactness never depended on tight bounds). A
+       stats-less file falls back to one streaming (min, max) pass;
     2. one streaming pass: per-batch value histograms over
        ``n_buckets`` equal-width bins -> tiny groupby-sum (the driver
        holds ``n_buckets`` ints);
@@ -455,13 +483,16 @@ def revenue_percentiles(
         return (batch["l_extendedprice"].to_numpy()
                 * (1.0 - batch["l_discount"].to_numpy()))
 
-    def stats(batch: pd.DataFrame) -> pd.DataFrame:
-        v = rev(batch)
-        return pd.DataFrame({"mn": [v.min()], "mx": [v.max()],
-                             "n": [len(v)]})
+    mn, mx, n = _revenue_bounds_from_stats(f"{sf_dir}/lineitem.parquet")
+    if mn is None:
+        def stats(batch: pd.DataFrame) -> pd.DataFrame:
+            v = rev(batch)
+            return pd.DataFrame({"mn": [v.min()], "mx": [v.max()],
+                                 "n": [len(v)]})
 
-    st = ds.map_batches(stats, batch_format="pandas").to_pandas()
-    mn, mx, n = float(st["mn"].min()), float(st["mx"].max()), int(st["n"].sum())
+        st = ds.map_batches(stats, batch_format="pandas").to_pandas()
+        mn, mx, n = (float(st["mn"].min()), float(st["mx"].max()),
+                     int(st["n"].sum()))
     ks = [int(np.floor(p * (n - 1))) for p in pcts]
     if mn == mx:
         return pd.DataFrame({"pct": np.array(pcts, dtype="float64"),
