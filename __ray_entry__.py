@@ -28,6 +28,7 @@ from typing import Any
 from go_crawler_ray.pipelines import ann as _ann
 from go_crawler_ray.pipelines import crawl_queries as _cq
 from go_crawler_ray.pipelines import dedup as _dedup
+from go_crawler_ray.pipelines import graph as _graph
 from go_crawler_ray.pipelines import multimodal as _mm
 from go_crawler_ray.pipelines import relational as _rel
 from go_crawler_ray.pipelines import sampling as _sample
@@ -111,6 +112,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_balance": _sample.domain_balance,
         "pack_sequences": _sample.pack_sequences,
         "approx_distinct_tokens": _sample.approx_distinct_tokens,
+        # --- graph analytics over the corpus link graph ---
+        "graph_pagerank": _graph.pagerank,
     }
 
 
@@ -283,6 +286,9 @@ def oracle_sql() -> dict[str, str]:
         # sits behind the hash gate, not just the standalone extractor
         "crawl_docs_out_html": _co.docs_out_sql(corpus, seed, CRAWL_BUDGET),
         "crawl_spans_flatten": f"{flat} ORDER BY doc_id, \"offset\"",
+        # 5 unrolled PageRank sweeps over the same-host page->page link
+        # graph (edge derivation shares the crawl oracle's canon chain)
+        "graph_pagerank": _graph.pagerank_sql(corpus),
         "crawl_extract_resources": (
             f"SELECT doc_id, kind, split_part(media_ref, '#', 1) AS ref_nofrag,"
             f" \"offset\" FROM ({flat}) "

@@ -856,3 +856,44 @@ class TestReduceSideJoin:
         # inner-join: every result key exists on both sides
         assert got["o_orderkey"].isin(orders["o_orderkey"]).all()
         assert got["o_orderkey"].isin(li["l_orderkey"]).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGraph:
+    def test_pagerank_matches_numpy_dense_iteration(self):
+        """The distributed 2-shuffle-per-sweep PageRank must equal a
+        dense numpy power iteration over the SAME edge list (derived
+        independently via DuckDB), and conserve probability mass."""
+        import duckdb
+        import numpy as np
+
+        from go_crawler_ray.pipelines import graph
+        from go_crawler_ray.pipelines.crawl_queries import corpus_parquet
+
+        sf = "/root/testdata/sf0.001"
+        got = graph.pagerank(sf)
+        # mass conserved up to the 6-decimal report rounding (±5e-7/node)
+        assert abs(got["rank"].sum() - 1.0) < len(got) * 5e-7
+
+        corpus = corpus_parquet(sf)
+        sql = graph.pagerank_sql(corpus)
+        edges_sql = sql.split(",\npr0 AS")[0] + (
+            "\nSELECT src, dst FROM edges")
+        e = duckdb.sql(edges_sql).df()
+        nodes = sorted(got["node"])
+        idx = {u: i for i, u in enumerate(nodes)}
+        N = len(nodes)
+        deg = np.zeros(N)
+        np.add.at(deg, [idx[u] for u in e["src"]], 1)
+        r = np.full(N, 1.0 / N)
+        d = 0.85
+        si = np.array([idx[u] for u in e["src"]])
+        di = np.array([idx[u] for u in e["dst"]])
+        for _ in range(5):
+            s = np.zeros(N)
+            np.add.at(s, di, r[si] / deg[si])
+            D = r[deg == 0].sum()
+            r = (1 - d) / N + d * (s + D / N)
+        assert np.allclose(got["rank"].to_numpy(), r, atol=2e-6)
+        # every node keeps at least the teleport floor
+        assert (got["rank"] >= round((1 - d) / N, 6) - 1e-9).all()

@@ -76,6 +76,7 @@ ORACLE_KEYS = [
     "pack_sequences", "event_asof_join", "revenue_percentiles",
     "text_chunks", "text_bpe_tokens",
     "text_tfidf", "approx_distinct_tokens", "order_revenue_topk",
+    "graph_pagerank",
 ]
 
 
