@@ -114,6 +114,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_tokens": _sample.approx_distinct_tokens,
         # --- graph analytics over the corpus link graph ---
         "graph_pagerank": _graph.pagerank,
+        "graph_components": _graph.components,
+        # --- incremental-crawl dedup + ranked retrieval ---
+        "dedup_bloom_incremental": _dedup.bloom_incremental,
+        "text_bm25": _text.bm25_topk,
     }
 
 
@@ -289,6 +293,21 @@ def oracle_sql() -> dict[str, str]:
         # 5 unrolled PageRank sweeps over the same-host page->page link
         # graph (edge derivation shares the crawl oracle's canon chain)
         "graph_pagerank": _graph.pagerank_sql(corpus),
+        # undirected connected components of the same edge set,
+        # oracled by recursive-CTE reachability + MIN per node
+        "graph_components": _graph.components_sql(corpus),
+        # BM25 top-k: float expression tree mirrored term by term
+        "text_bm25": _text.bm25_sql(),
+        # incoming-shard exact dedup vs the existing corpus (Bloom
+        # prefilter is an engine-side optimization — the result is
+        # exact, so plain SQL anti-join is the oracle)
+        "dedup_bloom_incremental": (
+            f"WITH s AS (SELECT doc_id, text, CAST(doc_id AS VARCHAR) "
+            f"AS ds FROM documents), "
+            f"f AS (SELECT doc_id, md5(array_to_string(({_TOKENS})[1:3], "
+            f"' ')) AS fp, {_crc32_sql('ds')} % 1000 AS b FROM s) "
+            f"SELECT doc_id, fp FROM f WHERE b >= 500 AND fp NOT IN "
+            f"(SELECT fp FROM f WHERE b < 500) ORDER BY doc_id"),
         "crawl_extract_resources": (
             f"SELECT doc_id, kind, split_part(media_ref, '#', 1) AS ref_nofrag,"
             f" \"offset\" FROM ({flat}) "

@@ -970,3 +970,149 @@ def embedding_clusters(sf_dir: str, threshold: float = 0.45) -> pd.DataFrame:
            .map_batches(assign_cluster, batch_format="pandas")
            .to_pandas())
     return out.sort_values("vec_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Incremental (cross-corpus) dedup: Bloom-filter prefilter + exact confirm
+
+_BLOOM_BITS = 1 << 20          # 1 Mbit = 128 KiB per partial / final
+_BLOOM_K = 4
+
+
+def _bloom_positions(fps: pd.Series) -> np.ndarray:
+    """(n, _BLOOM_K) bit positions per fingerprint — double hashing
+    (Kirsch & Mitzenmacher 2006, "Less hashing, same performance") over
+    the two independent crc32 maps of functions.hashing."""
+    from ..functions.hashing import crc32_many
+
+    arr = pa.array(fps.astype(str).tolist(), pa.string())
+    h1 = crc32_many(arr).astype(np.uint64)
+    h2 = crc32_many(arr, reverse=True).astype(np.uint64)
+    i = np.arange(_BLOOM_K, dtype=np.uint64)[None, :]
+    return ((h1[:, None] + i * h2[:, None])
+            % np.uint64(_BLOOM_BITS)).astype(np.int64)
+
+
+def _bloom_set(pos: np.ndarray) -> np.ndarray:
+    """Pack bit positions into a (bits/8,) uint8 bitmap."""
+    bm = np.zeros(_BLOOM_BITS // 8, dtype=np.uint8)
+    flat = pos.reshape(-1)
+    np.bitwise_or.at(bm, flat >> 3,
+                     np.left_shift(np.uint8(1), (flat & 7).astype(np.uint8)))
+    return bm
+
+
+def _bloom_test(bm: np.ndarray, pos: np.ndarray) -> np.ndarray:
+    """Per-row membership: all K bits set."""
+    bits = (bm[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+    return bits.all(axis=1)
+
+
+@ray.remote
+def _bloom_or(*parts: bytes) -> bytes:
+    acc = np.frombuffer(parts[0], dtype=np.uint8).copy()
+    for p in parts[1:]:
+        acc |= np.frombuffer(p, dtype=np.uint8)
+    return acc.tobytes()
+
+
+def bloom_incremental(sf_dir: str, key_words: int = 3,
+                      split_permille: int = 500) -> pd.DataFrame:
+    """(doc_id, fp): incoming documents whose content fingerprint does
+    NOT already occur in the existing corpus — the incremental-crawl
+    dedup pass (new shard vs an already-ingested corpus), exact by
+    construction.
+
+    The corpus splits deterministically on crc32(str(doc_id)) % 1000
+    (the sample_docs idiom): existing = residue < ``split_permille``,
+    incoming = the rest. fp = md5 of the shared first-``key_words``-token
+    dedup key (functions.textkeys — the same key exact_dedup groups on,
+    so cross-split duplicates genuinely exist in the synthetic corpus).
+
+    Scale shape — the big (existing) side never shuffles and never
+    leaves its workers; only O(candidates) strings cross the wire:
+    1. ONE streaming pass over existing fps builds a Bloom filter
+       (per-batch partial bitmaps, fan-in-8 tree OR of 128 KiB blocks —
+       at 10^10 docs & 1 Mbit that undersizes; m scales to ~10 bits/key
+       and the same tree carries it);
+    2. incoming fps probe the broadcast filter: bloom-NEGATIVE rows are
+       definitely new (no false negatives) and short-circuit out;
+    3. bloom-POSITIVE candidates (true dups + ~(1-e^-kn/m)^k false
+       positives) broadcast as a set to ONE more streaming pass over
+       existing, which emits just the fps that really occur there;
+    4. new = bloom-negatives + unconfirmed candidates.
+    The exact-confirm pass makes the result independent of the filter's
+    false-positive rate — the Bloom filter only sizes step 3's
+    broadcast."""
+    from ..functions.hashing import crc32_many
+    from ..functions.textkeys import dedup_key
+
+    docs = _read_docs(sf_dir, ["doc_id", "text"], _docs_blocks(sf_dir))
+
+    def keyed(batch: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
+
+        keys = dedup_key(batch["text"], key_words)
+        fp = [hashlib.md5(k.encode("utf-8")).hexdigest() for k in keys]
+        b = crc32_many(pa.array(batch["doc_id"].astype(str).tolist(),
+                                pa.string())) % np.uint32(1000)
+        return pd.DataFrame({"doc_id": batch["doc_id"].astype("int64"),
+                             "fp": fp,
+                             "existing": b < split_permille})
+
+    keyed_ds = docs.map_batches(keyed, batch_format="pandas").materialize()
+
+    # ---- 1. Bloom build over the existing side (tree OR) ----
+    def partial_bloom(batch: pd.DataFrame) -> pd.DataFrame:
+        ex = batch.loc[batch["existing"], "fp"]
+        if not len(ex):
+            return pd.DataFrame({"bitmap": pd.Series(dtype=object)})
+        return pd.DataFrame(
+            {"bitmap": [_bloom_set(_bloom_positions(ex)).tobytes()]})
+
+    parts = (keyed_ds.map_batches(partial_bloom, batch_format="pandas")
+             .to_pandas()["bitmap"].tolist())
+    refs = [ray.put(p) for p in parts]
+    while len(refs) > 1:
+        refs = [_bloom_or.remote(*refs[i:i + 8])
+                for i in range(0, len(refs), 8)]
+    bloom = (np.frombuffer(ray.get(refs[0]), dtype=np.uint8) if refs
+             else np.zeros(_BLOOM_BITS // 8, dtype=np.uint8))
+    bloom_ref = ray.put(bloom)
+
+    # ---- 2. probe incoming ----
+    def probe(batch: pd.DataFrame) -> pd.DataFrame:
+        inc = batch.loc[~batch["existing"], ["doc_id", "fp"]]
+        if not len(inc):
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "fp": pd.Series(dtype=object),
+                                 "hit": pd.Series(dtype=bool)})
+        bm = ray.get(bloom_ref)
+        hit = _bloom_test(bm, _bloom_positions(inc["fp"]))
+        return pd.DataFrame({"doc_id": inc["doc_id"].to_numpy(),
+                             "fp": inc["fp"].to_numpy(),
+                             "hit": hit})
+
+    probed = (keyed_ds.map_batches(probe, batch_format="pandas")
+              .to_pandas())
+
+    # ---- 3. exact confirm of the bloom-positive candidates ----
+    cand_fps = set(probed.loc[probed["hit"], "fp"])
+    confirmed: set = set()
+    if cand_fps:
+        cand_ref = ray.put(cand_fps)
+
+        def match_existing(batch: pd.DataFrame) -> pd.DataFrame:
+            cs = ray.get(cand_ref)
+            m = batch.loc[batch["existing"] & batch["fp"].isin(cs), "fp"]
+            return pd.DataFrame({"fp": m.unique()})
+
+        got = (keyed_ds.map_batches(match_existing, batch_format="pandas")
+               .to_pandas())
+        confirmed = set(got["fp"])
+
+    # ---- 4. new = bloom-negative + unconfirmed positives ----
+    new = probed[~probed["fp"].isin(confirmed)]
+    out = pd.DataFrame({"doc_id": new["doc_id"].astype("int64"),
+                        "fp": new["fp"]})
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -21,6 +21,18 @@ Edge semantics (shared bit-for-bit with the SQL oracle):
 Rank update (d = 0.85, fixed ``iters`` sweeps from r0 = 1/N):
     r'(v) = (1-d)/N + d * (sum_{(u,v)} r(u)/outdeg(u) + D/N),
     D = sum of dangling (outdeg 0) ranks.
+
+``components`` finds the undirected connected components of the same
+edge set via Hash-to-Min (Rastogi et al. 2012 — the string-keyed
+sibling of pipelines/dedup._min_label_components): every round is ONE
+groupby shuffle over the adjacency state, labels are component-min URL
+strings, and singleton pages label themselves without ever entering the
+shuffle. The known Hash-to-Min caveat applies and is deliberate: the
+minimum node of a giant component eventually holds that component's
+full member list in one group — fine for web-graph components whose
+giant component fits one worker's heap as an id list; beyond that the
+round structure stays the same with label propagation (exchange only
+(node, min) pairs, O(diameter) rounds) as the drop-in state bound.
 """
 
 from __future__ import annotations
@@ -29,6 +41,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
 import ray.data as rd
 
 from ..functions.compat import round_half_away
@@ -184,31 +197,12 @@ def pagerank(sf_dir: str, d: float = 0.85, iters: int = 5) -> pd.DataFrame:
     return out.sort_values("node").reset_index(drop=True)
 
 
-def pagerank_sql(corpus_path: str, d: float = 0.85, iters: int = 5) -> str:
-    """DuckDB oracle: the same edge derivation (canon chain shared with
-    pipelines/crawl_oracle.py) and ``iters`` UNROLLED rank sweeps —
-    recursive CTEs restrict aggregation in the recursive term, so each
-    sweep is its own CTE. Arithmetic mirrors the engine expression for
-    expression ((1-d)/N + d*(s + D/N), contributions r/outdeg) so the
-    result is value-exact at 6 places."""
-    prev = "pr0"
-    sweeps = []
-    for i in range(1, iters + 1):
-        sweeps.append(f"""
-pr{i} AS (
-  SELECT n.node, n.outdeg,
-    (1.0 - {d}) / nn.N + {d} * (COALESCE(c.s, 0.0) + dg.D / nn.N) AS r
-  FROM {prev} n
-  LEFT JOIN (SELECT e.dst AS node, SUM(p.r / p.outdeg) AS s
-             FROM edges e JOIN {prev} p ON p.node = e.src
-             GROUP BY e.dst) c ON c.node = n.node
-  CROSS JOIN (SELECT COALESCE(SUM(r) FILTER (WHERE outdeg = 0), 0.0)
-              AS D FROM {prev}) dg
-  CROSS JOIN nn
-)""")
-        prev = f"pr{i}"
-    return f"""
-WITH flat AS (
+def _edge_ctes_sql(corpus_path: str) -> str:
+    """The link-graph edge derivation as a WITH-clause body (no WITH
+    keyword) — the SQL twin of :func:`_edges_ds`, shared by the
+    pagerank and components oracles. The canon chain mirrors
+    pipelines/crawl_oracle.py's URL canonicalization."""
+    return f"""flat AS (
   SELECT doc_id, u.media_ref AS media_ref
   FROM read_parquet('{corpus_path}'), UNNEST(spans) AS t(u)
   WHERE u.kind = 'link'
@@ -241,7 +235,128 @@ cand AS (
 ),
 nodes AS (SELECT doc_id AS node FROM read_parquet('{corpus_path}')),
 edges AS (SELECT DISTINCT c.src, c.dst
-          FROM cand c JOIN nodes n ON n.node = c.dst),
+          FROM cand c JOIN nodes n ON n.node = c.dst)"""
+
+
+def components(sf_dir: str, max_rounds: int = 64) -> pd.DataFrame:
+    """(node, component): undirected connected components of the corpus
+    link graph; component = lexicographic min URL in the component.
+
+    Distributed shape (the string-keyed sibling of
+    pipelines/dedup._min_label_components): the adjacency state starts
+    as C(v) = N(v) ∪ {v} from the edge dataset; each Hash-to-Min round
+    is ONE groupby("node") shuffle (per node emit (min, c) and (c, min)
+    for all members); convergence is declared by a distributed
+    edge-consistency pass, not a driver diff. Pages with no edges never
+    enter the shuffle — the final pass assigns them their own URL via
+    the broadcast label map over a streaming doc_id read, so the state
+    carries only edge-touched nodes (the near-dup-cluster discipline)."""
+    corpus = corpus_parquet(sf_dir)
+    edges = _edges_ds(corpus).materialize()
+
+    def init_state(batch: pd.DataFrame) -> pd.DataFrame:
+        a = batch["src"].to_numpy(dtype=object)
+        b = batch["dst"].to_numpy(dtype=object)
+        return pd.DataFrame({
+            "node": np.concatenate([a, b, a, b]),
+            "member": np.concatenate([b, a, a, b]),
+        })
+
+    def htm_round(g: pd.DataFrame) -> pd.DataFrame:
+        C = np.unique(g["member"].to_numpy(dtype=object))
+        m = C[0]
+        return pd.DataFrame({
+            "node": np.concatenate([np.full(len(C), m, dtype=object), C]),
+            "member": np.concatenate([C, np.full(len(C), m, dtype=object)]),
+        }).drop_duplicates()
+
+    def labels_of(st: rd.Dataset) -> pd.DataFrame:
+        df = st.to_pandas()
+        return (df.groupby("node", sort=True)["member"].min()
+                .reset_index().rename(columns={"member": "label"}))
+
+    def edges_consistent(lab: pd.DataFrame) -> bool:
+        lab_ref = ray.put(dict(zip(lab["node"], lab["label"])))
+
+        def mism(batch: pd.DataFrame) -> pd.DataFrame:
+            lb = ray.get(lab_ref)
+            n = sum(1 for a, b in zip(batch["src"], batch["dst"])
+                    if lb.get(a, a) != lb.get(b, b))
+            return pd.DataFrame({"bad": [n]})
+
+        got = edges.map_batches(mism, batch_format="pandas").to_pandas()
+        return int(got["bad"].sum()) == 0
+
+    state = edges.map_batches(init_state, batch_format="pandas")
+    lab = pd.DataFrame({"node": pd.Series(dtype="object"),
+                        "label": pd.Series(dtype="object")})
+    if edges.count():
+        for rnd in range(max_rounds):
+            state = (state.groupby("node")
+                     .map_groups(htm_round, batch_format="pandas")
+                     .materialize())
+            # web-graph diameters make O(log d) rounds ~5-7; check
+            # convergence from round 2 on (round 1 never suffices for
+            # any component with diameter > 2)
+            if rnd >= 1:
+                lab = labels_of(state)
+                if edges_consistent(lab):
+                    break
+        else:
+            raise RuntimeError("components: no fixpoint "
+                               f"after {max_rounds} rounds")
+
+    lab_ref = ray.put(dict(zip(lab["node"], lab["label"])))
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        lb = ray.get(lab_ref)
+        urls = batch["doc_id"].astype(str)
+        return pd.DataFrame({"node": urls,
+                             "component": urls.map(lambda u: lb.get(u, u))})
+
+    out = (rd.read_parquet(corpus, columns=["doc_id"])
+           .map_batches(assign, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def components_sql(corpus_path: str) -> str:
+    """DuckDB oracle: recursive-CTE reachability over the same edge
+    derivation; component = MIN(reachable node) per node."""
+    return f"""
+WITH RECURSIVE {_edge_ctes_sql(corpus_path)},
+und AS (SELECT src AS u, dst AS v FROM edges
+        UNION SELECT dst AS u, src AS v FROM edges),
+reach(u, v) AS (SELECT node, node FROM nodes
+                UNION SELECT r.u, e.v FROM reach r JOIN und e ON e.u = r.v)
+SELECT u AS node, MIN(v) AS component FROM reach GROUP BY u ORDER BY node"""
+
+
+def pagerank_sql(corpus_path: str, d: float = 0.85, iters: int = 5) -> str:
+    """DuckDB oracle: the same edge derivation (canon chain shared with
+    pipelines/crawl_oracle.py) and ``iters`` UNROLLED rank sweeps —
+    recursive CTEs restrict aggregation in the recursive term, so each
+    sweep is its own CTE. Arithmetic mirrors the engine expression for
+    expression ((1-d)/N + d*(s + D/N), contributions r/outdeg) so the
+    result is value-exact at 6 places."""
+    prev = "pr0"
+    sweeps = []
+    for i in range(1, iters + 1):
+        sweeps.append(f"""
+pr{i} AS (
+  SELECT n.node, n.outdeg,
+    (1.0 - {d}) / nn.N + {d} * (COALESCE(c.s, 0.0) + dg.D / nn.N) AS r
+  FROM {prev} n
+  LEFT JOIN (SELECT e.dst AS node, SUM(p.r / p.outdeg) AS s
+             FROM edges e JOIN {prev} p ON p.node = e.src
+             GROUP BY e.dst) c ON c.node = n.node
+  CROSS JOIN (SELECT COALESCE(SUM(r) FILTER (WHERE outdeg = 0), 0.0)
+              AS D FROM {prev}) dg
+  CROSS JOIN nn
+)""")
+        prev = f"pr{i}"
+    return f"""
+WITH {_edge_ctes_sql(corpus_path)},
 deg AS (SELECT src AS node, COUNT(*) AS outdeg FROM edges GROUP BY src),
 nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS N FROM nodes),
 pr0 AS (

@@ -427,3 +427,120 @@ def tfidf_topk(sf_dir: str, k: int = 5) -> pd.DataFrame:
     return (out.sort_values(["doc_id", "tfidf", "word"],
                             ascending=[True, False, True])
             .reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval (Robertson & Zaragoza 2009, "The Probabilistic
+# Relevance Framework: BM25 and Beyond")
+
+BM25_QUERY = ("sort", "join", "hash", "window", "query")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def bm25_topk(sf_dir: str, terms: tuple = BM25_QUERY,
+              k: int = 10) -> pd.DataFrame:
+    """(doc_id, score): top-``k`` documents by BM25 for a fixed query
+    term set; ties break by doc_id; scores rounded half-away to 4
+    places AFTER the cut (ordering uses the raw double).
+
+    idf_t = ln((N - df_t + 0.5) / (df_t + 0.5) + 1)  (Lucene's variant:
+    non-negative for any df), score = sum_t idf_t * tf * (k1+1) /
+    (tf + k1 * (1 - b + b * dl/avgdl)); term contributions accumulate
+    in fixed query order so the float expression tree matches the SQL
+    oracle exactly.
+
+    Scale shape — two streaming passes, zero shuffles:
+    1. corpus stats: per-batch partials (sum dl as int64, per-term
+       containing-doc counts — |terms| ints per batch) -> driver sums;
+       avgdl = exact-int total / N, idf from exact-int dfs;
+    2. scoring: vectorized per-batch tf (one explode + |terms| equality
+       reductions), score, per-batch partial top-k -> k x blocks driver
+       merge. The corpus never sorts and the driver never holds more
+       than k rows per block."""
+    import math
+
+    import pyarrow.parquet as _pq
+
+    n_docs = _pq.ParquetFile(
+        f"{sf_dir}/documents.parquet").metadata.num_rows
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def _tf_matrix(batch: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+        """(dl, tf[n_rows x n_terms]) via one explode per batch."""
+        toks = (batch["text"].str.strip().str.split(_WS)
+                .reset_index(drop=True))
+        dl = toks.str.len().to_numpy(dtype="int64")
+        ex = toks.explode()
+        idx = ex.index.to_numpy(dtype="int64")
+        w = ex.to_numpy(dtype=object)
+        tf = np.zeros((len(batch), len(terms)), dtype="int64")
+        for j, t in enumerate(terms):
+            np.add.at(tf[:, j], idx, (w == t).astype("int64"))
+        return dl, tf
+
+    # ---- pass 1: exact-integer corpus stats ----
+    def stats(batch: pd.DataFrame) -> pd.DataFrame:
+        dl, tf = _tf_matrix(batch)
+        row = {"total_dl": [int(dl.sum())]}
+        for j in range(len(terms)):
+            row[f"df{j}"] = [int((tf[:, j] > 0).sum())]
+        return pd.DataFrame(row)
+
+    st = ds.map_batches(stats, batch_format="pandas").to_pandas().sum()
+    avgdl = float(st["total_dl"]) / n_docs
+    idf = [math.log((n_docs - float(st[f"df{j}"]) + 0.5)
+                    / (float(st[f"df{j}"]) + 0.5) + 1.0)
+           for j in range(len(terms))]
+
+    # ---- pass 2: score + partial top-k ----
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        dl, tf = _tf_matrix(batch)
+        norm = _BM25_K1 * (1.0 - _BM25_B + _BM25_B * dl / avgdl)
+        raw = np.zeros(len(batch), dtype="float64")
+        for j in range(len(terms)):     # fixed-order accumulation
+            raw = raw + idf[j] * (tf[:, j] * (_BM25_K1 + 1.0)) \
+                / (tf[:, j] + norm)
+        out = pd.DataFrame({"doc_id": batch["doc_id"].astype("int64"),
+                            "raw": raw})
+        return (out.sort_values(["raw", "doc_id"],
+                                ascending=[False, True]).head(k))
+
+    cand = ds.map_batches(score, batch_format="pandas").to_pandas()
+    cut = (cand.sort_values(["raw", "doc_id"], ascending=[False, True])
+           .head(k).reset_index(drop=True))
+    return pd.DataFrame({"doc_id": cut["doc_id"],
+                         "score": round_half_away(cut["raw"].to_numpy())})
+
+
+def bm25_sql(terms: tuple = BM25_QUERY, k: int = 10) -> str:
+    """DuckDB oracle for :func:`bm25_topk`: the same tokenizer pairing
+    every text oracle uses (regexp_split_to_array(trim(text),'\\s+')
+    vs pandas strip+split), exact-integer dl/df stats, and a score
+    expression whose float operation tree mirrors the engine's
+    fixed-order accumulation term by term (left-associative sum of
+    per-term contributions, (1.2 + 1.0) spelled as the engine spells
+    _BM25_K1 + 1.0) so the raw doubles agree bit-for-bit before the
+    shared ROUND/round_half_away at 4 places."""
+    toks = "regexp_split_to_array(trim(text), '\\s+')"
+    tf_cols = ", ".join(
+        f"len(list_filter(toks, w -> w = '{t}')) AS tf{j}"
+        for j, t in enumerate(terms))
+    df_cols = ", ".join(
+        f"CAST(SUM(CASE WHEN tf{j} > 0 THEN 1 ELSE 0 END) AS BIGINT) "
+        f"AS df{j}" for j in range(len(terms)))
+    norm = (f"{_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} "
+            f"* d.dl / st.avgdl)")
+    contribs = " + ".join(
+        f"(ln((st.n - st.df{j} + 0.5) / (st.df{j} + 0.5) + 1.0) "
+        f"* (d.tf{j} * ({_BM25_K1} + 1.0)) / (d.tf{j} + {norm}))"
+        for j in range(len(terms)))
+    return f"""
+WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+d AS (SELECT doc_id, len(toks) AS dl, {tf_cols} FROM t),
+st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl, {df_cols}
+       FROM d),
+sc AS (SELECT d.doc_id, {contribs} AS raw FROM d CROSS JOIN st)
+SELECT doc_id, ROUND(raw, 4) AS score FROM sc
+ORDER BY raw DESC, doc_id LIMIT {k}"""

@@ -897,3 +897,111 @@ class TestGraph:
         assert np.allclose(got["rank"].to_numpy(), r, atol=2e-6)
         # every node keeps at least the teleport floor
         assert (got["rank"] >= round((1 - d) / N, 6) - 1e-9).all()
+
+
+class TestBloomKernel:
+    """Hermetic tests of the Bloom-filter kernel behind
+    dedup.bloom_incremental (no Ray needed for the bit math)."""
+
+    def test_no_false_negatives(self):
+        import pandas as pd
+
+        from go_crawler_ray.pipelines.dedup import (_bloom_positions,
+                                                    _bloom_set, _bloom_test)
+
+        fps = pd.Series([f"fp-{i:05d}" for i in range(2000)])
+        bm = _bloom_set(_bloom_positions(fps))
+        assert _bloom_test(bm, _bloom_positions(fps)).all()
+
+    def test_false_positive_rate_bounded(self):
+        """At 2k keys in a 1 Mbit filter with k=4 the analytic FP rate
+        is ~(1-e^(-4*2000/2^20))^4 ≈ 3e-9; 20k fresh probes must come
+        back essentially all-negative (allow a tiny slack)."""
+        import pandas as pd
+
+        from go_crawler_ray.pipelines.dedup import (_bloom_positions,
+                                                    _bloom_set, _bloom_test)
+
+        bm = _bloom_set(_bloom_positions(
+            pd.Series([f"fp-{i:05d}" for i in range(2000)])))
+        probe = pd.Series([f"other-{i:05d}" for i in range(20000)])
+        assert _bloom_test(bm, _bloom_positions(probe)).sum() <= 2
+
+    def test_partial_or_equals_single_build(self):
+        """Tree-OR of per-batch partial bitmaps == one-shot build (the
+        distributed-build correctness invariant)."""
+        import pandas as pd
+
+        from go_crawler_ray.pipelines.dedup import (_bloom_positions,
+                                                    _bloom_set)
+
+        fps = pd.Series([f"fp-{i}" for i in range(300)])
+        whole = _bloom_set(_bloom_positions(fps))
+        acc = _bloom_set(_bloom_positions(fps[:100]))
+        acc |= _bloom_set(_bloom_positions(fps[100:200]))
+        acc |= _bloom_set(_bloom_positions(fps[200:]))
+        assert (acc == whole).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestBloomIncremental:
+    def test_matches_exact_antijoin(self):
+        """The Bloom-prefiltered result must equal the exact pandas
+        anti-join of incoming fps against existing fps — the filter is
+        an optimization, never a semantics change."""
+        import hashlib
+
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from go_crawler_ray.functions.hashing import crc32_many
+        from go_crawler_ray.functions.textkeys import dedup_key
+        from go_crawler_ray.pipelines.dedup import bloom_incremental
+
+        sf = "/root/testdata/sf0.001"
+        got = bloom_incremental(sf)
+
+        docs = pq.read_table(f"{sf}/documents.parquet",
+                             columns=["doc_id", "text"]).to_pandas()
+        keys = dedup_key(docs["text"], 3)
+        fp = [hashlib.md5(k.encode()).hexdigest() for k in keys]
+        b = crc32_many(pa.array(docs["doc_id"].astype(str).tolist(),
+                                pa.string())) % np.uint32(1000)
+        existing = set(f for f, e in zip(fp, b < 500) if e)
+        want = pd.DataFrame({
+            "doc_id": docs["doc_id"][(b >= 500)
+                                     & ~pd.Series(fp).isin(existing)],
+            "fp": [f for f, e in zip(fp, b >= 500)
+                   if e and f not in existing],
+        }).sort_values("doc_id").reset_index(drop=True)
+        want["doc_id"] = want["doc_id"].astype("int64")
+        pd.testing.assert_frame_equal(got, want)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestComponents:
+    def test_partition_properties(self):
+        """Labels form a valid partition: every node labeled, the label
+        is the lexicographic min of its component, and pagerank's edge
+        set never crosses two labels (endpoint consistency)."""
+        import duckdb
+
+        from go_crawler_ray.pipelines import graph
+        from go_crawler_ray.pipelines.crawl_queries import corpus_parquet
+
+        sf = "/root/testdata/sf0.001"
+        got = graph.components(sf)
+        lab = dict(zip(got["node"], got["component"]))
+        # every component label is itself a member node with that label
+        for c in set(lab.values()):
+            assert lab[c] == c
+        # min-of-component: the label is <= every member
+        assert (got["component"] <= got["node"]).all()
+
+        corpus = corpus_parquet(sf)
+        sql = graph.pagerank_sql(corpus)
+        edges_sql = sql.split(",\ndeg AS")[0] + (
+            "\nSELECT src, dst FROM edges")
+        e = duckdb.sql(edges_sql).df()
+        assert all(lab[a] == lab[b] for a, b in zip(e["src"], e["dst"]))

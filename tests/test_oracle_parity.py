@@ -76,7 +76,8 @@ ORACLE_KEYS = [
     "pack_sequences", "event_asof_join", "revenue_percentiles",
     "text_chunks", "text_bpe_tokens",
     "text_tfidf", "approx_distinct_tokens", "order_revenue_topk",
-    "graph_pagerank",
+    "graph_pagerank", "graph_components", "dedup_bloom_incremental",
+    "text_bm25",
 ]
 
 
