@@ -118,6 +118,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- incremental-crawl dedup + ranked retrieval ---
         "dedup_bloom_incremental": _dedup.bloom_incremental,
         "text_bm25": _text.bm25_topk,
+        # --- batched model inference + temperature mixing ---
+        "text_model_score": _text.model_score,
+        "temperature_sample": _sample.temperature_sample,
     }
 
 
@@ -298,6 +301,20 @@ def oracle_sql() -> dict[str, str]:
         "graph_components": _graph.components_sql(corpus),
         # BM25 top-k: float expression tree mirrored term by term
         "text_bm25": _text.bm25_sql(),
+        # logistic quality model: mirrored dot product + sigmoid
+        "text_model_score": _text.model_score_sql(),
+        # α=1/2 temperature resample: all-integer acceptance test
+        "temperature_sample": (
+            f"WITH s AS (SELECT doc_id, lang, CAST(doc_id AS VARCHAR) "
+            f"AS ds FROM documents), "
+            f"c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n "
+            f"FROM s GROUP BY lang), "
+            f"m AS (SELECT MIN(n) AS nmin FROM c), "
+            f"k AS (SELECT doc_id, lang, {_crc32_sql('ds')} % 1000 AS b "
+            f"FROM s) "
+            f"SELECT k.doc_id, k.lang FROM k JOIN c USING (lang) "
+            f"CROSS JOIN m WHERE k.b * k.b * c.n < m.nmin * 1000000 "
+            f"ORDER BY k.doc_id"),
         # incoming-shard exact dedup vs the existing corpus (Bloom
         # prefilter is an engine-side optimization — the result is
         # exact, so plain SQL anti-join is the oracle)

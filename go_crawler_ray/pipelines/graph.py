@@ -70,14 +70,22 @@ def _edges_ds(corpus: str) -> rd.Dataset:
         canon, same = canonicalize_batch(refs, src)
         keep = same & np.array([u is not None for u in canon],
                                dtype=bool)
-        return pd.DataFrame({"dst": canon[keep].astype(str),
-                             "src": src[keep].astype(str),
-                             "side": np.int8(1)})
+        # typed Arrow output (not object-dtype pandas): Ray's block size
+        # estimator chokes on empty object columns, and string Arrow
+        # columns are zero-copy into the sort shuffle
+        return pa.table({
+            "dst": pa.array(canon[keep].astype(str), pa.string()),
+            "src": pa.array(src[keep].astype(str), pa.string()),
+            "side": pa.array(np.full(int(keep.sum()), 1, dtype=np.int8)),
+        })
 
-    def node_rows(batch: pa.Table) -> pd.DataFrame:
-        urls = batch.column("doc_id").to_pandas().astype(str)
-        return pd.DataFrame({"dst": urls, "src": "",
-                             "side": np.int8(0)})
+    def node_rows(batch: pa.Table) -> pa.Table:
+        urls = pc.cast(batch.column("doc_id"), pa.string())
+        return pa.table({
+            "dst": urls,
+            "src": pa.array([""] * len(urls), pa.string()),
+            "side": pa.array(np.zeros(len(urls), dtype=np.int8)),
+        })
 
     def member_distinct(g: pd.DataFrame) -> pd.DataFrame:
         if not (g["side"] == 0).any():      # dst not a corpus page

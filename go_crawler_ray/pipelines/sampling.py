@@ -579,3 +579,57 @@ def approx_distinct_tokens(sf_dir: str, log2m: int = 10) -> pd.DataFrame:
                          "n_zero_registers": pd.array([n_zero],
                                                       dtype="int64"),
                          "estimate": round_half_away(np.array([est]))})
+
+
+def temperature_sample(sf_dir: str, group_col: str = "lang",
+                              alpha_num: int = 1,
+                              alpha_den: int = 2) -> pd.DataFrame:
+    """(doc_id, <group_col>): temperature-based mixture resampling (the
+    corpus's ``lang`` column is the skewed axis — ~3x toward en — so it
+    is the default; ``source`` is uniform in the synthetic corpus) — the
+    mixture pass that flattens a skewed source distribution toward
+    p_s ∝ n_s^α (α = alpha_num/alpha_den, default 1/2) instead of
+    domain_balance's hard equalization. The smallest source keeps 100%
+    of its rows; a source with n rows keeps a (n_min/n)^(1-α) fraction.
+
+    The acceptance test is ALL-INTEGER so the SQL oracle is exact with
+    no float thresholds: for α = 1/2 a doc survives iff
+
+        (crc32(str(doc_id)) % 1000)^2 * n_s < n_min * 1000^2
+
+    which is b < 1000 * sqrt(n_min/n_s) without ever computing the
+    square root (int64-safe to n_s ~ 9e12 per source). Only α = 1/2 is
+    wired — other temperatures need a different integer power pair.
+
+    Scale shape (the domain_balance discipline): ONE tiny
+    groupby("source") census (rows = number of sources), the count
+    table broadcast via ray.put, then a stateless vectorized keep
+    filter — the corpus itself never shuffles.
+    """
+    import ray
+
+    if (alpha_num, alpha_den) != (1, 2):
+        raise NotImplementedError("only alpha = 1/2 is wired "
+                                  "(integer acceptance test)")
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", group_col])
+    counts = ds.groupby(group_col).count().to_pandas()
+    n_by = {s: int(c) for s, c in zip(counts[group_col], counts["count()"])}
+    n_min = min(n_by.values())
+    n_ref = ray.put(n_by)
+
+    def keep(batch: pd.DataFrame) -> pd.DataFrame:
+        nb = ray.get(n_ref)
+        ids = batch["doc_id"].to_numpy().astype("int64")
+        h = crc32_many(pa.array(ids.astype(str).tolist(), pa.string()))
+        b = (h % np.uint32(1000)).astype("int64")
+        ns = batch[group_col].map(nb).to_numpy().astype("int64")
+        m = b * b * ns < n_min * 1_000_000
+        return pd.DataFrame({"doc_id": ids[m],
+                             group_col: batch[group_col].to_numpy()[m]})
+
+    out = ds.map_batches(keep, batch_format="pandas").to_pandas()
+    if "doc_id" not in out.columns:
+        out = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                            group_col: pd.Series(dtype=object)})
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -544,3 +544,86 @@ st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
 sc AS (SELECT d.doc_id, {contribs} AS raw FROM d CROSS JOIN st)
 SELECT doc_id, ROUND(raw, 4) AS score FROM sc
 ORDER BY raw DESC, doc_id LIMIT {k}"""
+
+
+# ---------------------------------------------------------------------------
+# Batched model inference: a deterministic linear quality classifier
+
+# Fixed "trained" weights over (bias, n_words/100, stopword_ratio,
+# distinct_ratio, avg_word_len): the weights are the model artifact a
+# real pipeline would load from storage in the actor's __init__.
+_QMODEL_W = (-2.0, 0.01, 3.0, 1.5, -0.25)
+
+
+class QualityModelStage:
+    """Actor-pool stage for batched model scoring: the 'model load'
+    happens ONCE per actor in __init__ (here: materializing the weight
+    vector + stopword set — the slot where a real pipeline deserializes
+    a sklearn/torch artifact); __call__ scores a whole batch
+    vectorized. score = sigmoid(w · x), rounded half-away at 4 AFTER
+    the full float pipeline, feature order fixed so the SQL oracle can
+    mirror the expression tree term by term."""
+
+    def __init__(self) -> None:
+        self.w = np.asarray(_QMODEL_W, dtype="float64")
+        self.stop = frozenset(STOPWORDS)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.textkeys import count_in_set
+
+        text = batch["text"]
+        words = text.str.strip().str.split(_WS)
+        n_words = words.str.len().to_numpy(dtype="float64")
+        stop_n = count_in_set(words, self.stop).astype("float64")
+        distinct_n = words.map(lambda ws: len(set(ws))).to_numpy(
+            dtype="float64")
+        word_chars = (text.str.replace(" ", "", regex=False)
+                      .str.len().to_numpy(dtype="float64"))
+        w = self.w
+        z = w[0] + w[1] * (n_words / 100.0)
+        z = z + w[2] * (stop_n / n_words)
+        z = z + w[3] * (distinct_n / n_words)
+        z = z + w[4] * (word_chars / n_words)
+        score = 1.0 / (1.0 + np.exp(-z))
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"].astype("int64"),
+            "score": round_half_away(score),
+        })
+
+
+def model_score(sf_dir: str) -> pd.DataFrame:
+    """(doc_id, score): logistic quality score per document via the
+    actor-pool inference stage (the batched-model-scoring plumbing a
+    100 TB curation run uses — per-actor setup, vectorized per-batch
+    forward pass, no state on the driver)."""
+    from ..functions.pool import auto_pool
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+    out = ds.map_batches(QualityModelStage, batch_format="pandas",
+                         concurrency=auto_pool()).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def model_score_sql() -> str:
+    """DuckDB oracle for :func:`model_score`: the same tokenizer
+    pairing, the same left-associative dot-product accumulation and
+    sigmoid, ROUND at 4 mirroring round_half_away. distinct-token and
+    stopword counts are exact integers on both sides, so the only
+    float ops are the mirrored divisions/exp."""
+    w = _QMODEL_W
+    stop = "(" + ",".join(f"'{s}'" for s in STOPWORDS) + ")"
+    toks = "regexp_split_to_array(trim(text), '\\s+')"
+    return f"""
+WITH t AS (SELECT doc_id, text, {toks} AS ws FROM documents),
+f AS (SELECT doc_id,
+  CAST(len(ws) AS DOUBLE) AS n_words,
+  CAST(len(list_filter(ws, w -> w IN {stop})) AS DOUBLE) AS stop_n,
+  CAST(len(list_distinct(ws)) AS DOUBLE) AS distinct_n,
+  CAST(length(replace(text, ' ', '')) AS DOUBLE) AS word_chars
+  FROM t),
+z AS (SELECT doc_id,
+  {w[0]} + {w[1]} * (n_words / 100.0) + {w[2]} * (stop_n / n_words)
+  + {w[3]} * (distinct_n / n_words) + {w[4]} * (word_chars / n_words)
+  AS z FROM f)
+SELECT doc_id, ROUND(1.0 / (1.0 + exp(-z)), 4) AS score FROM z
+ORDER BY doc_id"""

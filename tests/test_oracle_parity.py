@@ -77,7 +77,7 @@ ORACLE_KEYS = [
     "text_chunks", "text_bpe_tokens",
     "text_tfidf", "approx_distinct_tokens", "order_revenue_topk",
     "graph_pagerank", "graph_components", "dedup_bloom_incremental",
-    "text_bm25",
+    "text_bm25", "text_model_score", "temperature_sample",
 ]
 
 
