@@ -121,6 +121,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- batched model inference + temperature mixing ---
         "text_model_score": _text.model_score,
         "temperature_sample": _sample.temperature_sample,
+        # --- LM-quality scoring, stratified sampling, n-gram decon ---
+        "text_surprisal": _text.unigram_surprisal,
+        "sample_per_group": _sample.sample_per_group,
+        "decontaminate_ngrams": _sample.decontaminate_ngrams,
+        "graph_host_stats": _graph.host_stats,
     }
 
 
@@ -303,6 +308,38 @@ def oracle_sql() -> dict[str, str]:
         "text_bm25": _text.bm25_sql(),
         # logistic quality model: mirrored dot product + sigmoid
         "text_model_score": _text.model_score_sql(),
+        # unigram-LM surprisal: integer micro-nat quantization makes the
+        # per-doc sum order-free exact; ln parity pinned by the bm25
+        # oracle already
+        "text_surprisal": _text.unigram_surprisal_sql(),
+        # deterministic k-per-group sample: ROW_NUMBER over the shared
+        # crc32 rank key
+        "sample_per_group": (
+            f"WITH s AS (SELECT doc_id, lang, CAST(doc_id AS VARCHAR) "
+            f"AS ds FROM documents), "
+            f"r AS (SELECT doc_id, lang, ROW_NUMBER() OVER "
+            f"(PARTITION BY lang ORDER BY {_crc32_sql('ds')}, doc_id) "
+            f"AS rn FROM s) "
+            f"SELECT doc_id, lang FROM r WHERE rn <= 40 "
+            f"ORDER BY doc_id"),
+        # word-5-gram eval-overlap decontamination on the shared crc32
+        # permille split; COUNT(DISTINCT) mirrors the engine's per-doc
+        # distinct-hit count
+        "decontaminate_ngrams": (
+            f"WITH s AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS ds, "
+            f"{_TOKENS} AS toks FROM documents), "
+            f"b AS (SELECT doc_id, toks, {_crc32_sql('ds')} % 1000 "
+            f"AS bucket FROM s), "
+            f"g AS (SELECT doc_id, bucket, "
+            f"array_to_string(toks[i:i+4], ' ') AS ng FROM b, "
+            f"UNNEST(generate_series(1, len(toks)-4)) AS u(i)), "
+            f"e AS (SELECT DISTINCT ng FROM g WHERE bucket >= 900), "
+            f"h AS (SELECT doc_id, CAST(COUNT(DISTINCT ng) AS BIGINT) "
+            f"AS n_hits FROM g WHERE bucket < 900 "
+            f"AND ng IN (SELECT ng FROM e) GROUP BY doc_id) "
+            f"SELECT doc_id, n_hits FROM h ORDER BY doc_id"),
+        # per-host page/edge census over the shared link-edge CTEs
+        "graph_host_stats": _graph.host_stats_sql(corpus),
         # α=1/2 temperature resample: all-integer acceptance test
         "temperature_sample": (
             f"WITH s AS (SELECT doc_id, lang, CAST(doc_id AS VARCHAR) "

@@ -161,6 +161,9 @@ def run_bench() -> dict:
             ("event_asof_join", _rel.event_asof_join),
             ("revenue_percentiles", _rel.revenue_percentiles),
             ("pack_sequences", _sample.pack_sequences),
+            ("text_surprisal", _text.unigram_surprisal),
+            ("sample_per_group", _sample.sample_per_group),
+            ("decontaminate_ngrams", _sample.decontaminate_ngrams),
             ("dedup_exact", _dedup.exact_dedup),
             ("dedup_minhash_clusters", _dedup.minhash_clusters),
             ("dedup_dup_spans", _dedup.duplicate_ngram_spans),

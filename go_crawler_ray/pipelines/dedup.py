@@ -529,16 +529,17 @@ def simhash_sidecar_path(sf_dir: str) -> str:
     return f"/tmp/graft_sidecar/simhash_sigs_{base}_{tag}"
 
 
-def simhash_near_pairs(sf_dir: str, max_hamming: int = 3,
-                       write_sidecar: bool = True) -> pd.DataFrame:
-    """(a, b, hamming) pairs within ``max_hamming`` bits, via 4x16-bit
-    band blocking (Manku et al. 2007: a pair within 3 bits must agree on
-    >=1 band).
+def _simhash_pairs_ds(sf_dir: str, max_hamming: int = 3,
+                      write_sidecar: bool = True) -> rd.Dataset:
+    """Lazy (a, b, hamming) candidate-pair Dataset within
+    ``max_hamming`` bits via 4x16-bit band blocking (Manku et al. 2007:
+    a pair within 3 bits must agree on >= 1 band) — PRE-distinct (a
+    pair colliding in several bands appears once per band; consumers
+    either dedup with one groupby or absorb duplicates in components).
 
-    Fully distributed: band explode (map_batches) -> bucket groupby ->
-    per-bucket pair enumeration with CHUNKED block scans (no bucket-size
-    cap — the documented recall guarantee holds even for hot buckets) ->
-    distinct-pair groupby. The driver receives only the final pairs.
+    Band explode (map_batches) -> bucket groupby -> per-bucket pair
+    enumeration with CHUNKED block scans (no bucket-size cap — the
+    documented recall guarantee holds even for hot buckets).
     ``write_sidecar`` persists the signatures (worker-side parquet) so
     the oracle can replay the join as a brute-force Hamming self-join."""
 
@@ -585,9 +586,6 @@ def simhash_near_pairs(sf_dir: str, max_hamming: int = 3,
             "hamming": np.concatenate(out_d).astype("int64"),
         })
 
-    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        return g.iloc[:1][["a", "b", "hamming"]]
-
     sig_ds = (_read_docs(sf_dir, ["doc_id", "text"], _docs_blocks(sf_dir))
               .map_batches(SimHashStage, batch_format="pandas",
                            concurrency=auto_pool(frac=0.25)))
@@ -600,9 +598,21 @@ def simhash_near_pairs(sf_dir: str, max_hamming: int = 3,
         os.makedirs(side, exist_ok=True)
         sig_ds = sig_ds.materialize()
         sig_ds.write_parquet(side)
-    pairs = (sig_ds.map_batches(explode_bands, batch_format="pandas")
-             .groupby(["band", "key"])
-             .map_groups(bucket_pairs, batch_format="pandas")
+    return (sig_ds.map_batches(explode_bands, batch_format="pandas")
+            .groupby(["band", "key"])
+            .map_groups(bucket_pairs, batch_format="pandas"))
+
+
+def simhash_near_pairs(sf_dir: str, max_hamming: int = 3,
+                       write_sidecar: bool = True) -> pd.DataFrame:
+    """(a, b, hamming) pairs within ``max_hamming`` bits — the
+    :func:`_simhash_pairs_ds` banded join plus ONE distinct-pair
+    groupby; the driver receives only the final pairs."""
+
+    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return g.iloc[:1][["a", "b", "hamming"]]
+
+    pairs = (_simhash_pairs_ds(sf_dir, max_hamming, write_sidecar)
              .groupby(["a", "b"])           # a pair may collide in >1 band
              .map_groups(dedup_pairs, batch_format="pandas")
              .to_pandas())
@@ -612,6 +622,37 @@ def simhash_near_pairs(sf_dir: str, max_hamming: int = 3,
                              "hamming": np.array([], dtype="int64")})
     return (pairs.astype({"a": "int64", "b": "int64", "hamming": "int64"})
             .sort_values(["a", "b"]).reset_index(drop=True))
+
+
+def simhash_clusters(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
+    """(doc_id, cluster_id): near-dup clusters over the simhash
+    Hamming-ball pair graph; cluster_id = min doc_id of the component,
+    singletons label themselves — the simhash twin of
+    :func:`minhash_clusters`.
+
+    Fully distributed: the banded pair Dataset feeds Hash-to-Min
+    components DIRECTLY (no distinct shuffle — components absorb the
+    per-band duplicate pairs), then one broadcast-label assignment pass
+    over the doc_id column. The driver holds only the label table."""
+    pairs_ds = _simhash_pairs_ds(sf_dir, max_hamming).materialize()
+
+    labels: dict[int, int] = {}
+    if pairs_ds.count():
+        lab = _min_label_components(pairs_ds)
+        labels = dict(zip(lab["node"].astype(int),
+                          lab["label"].astype(int)))
+    lab_ref = ray.put(labels)
+
+    def assign_cluster(batch: pd.DataFrame) -> pd.DataFrame:
+        lab = ray.get(lab_ref)
+        ids = batch["doc_id"].astype("int64")
+        cl = ids.map(lab).fillna(ids).astype("int64")
+        return pd.DataFrame({"doc_id": ids, "cluster_id": cl})
+
+    out = (_read_docs(sf_dir, ["doc_id"], _docs_blocks(sf_dir, 8192))
+           .map_batches(assign_cluster, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------

@@ -372,3 +372,72 @@ pr0 AS (
   FROM nodes n LEFT JOIN deg dg ON dg.node = n.node CROSS JOIN nn
 ),{",".join(sweeps)}
 SELECT node, ROUND(r, 6) AS rank FROM {prev} ORDER BY node"""
+
+
+# ---------------------------------------------------------------------------
+# Host-level link statistics (the crawl-planning aggregate: per-host
+# page counts and internal-link density drive politeness budgets and
+# shard sizing on a real crawl)
+
+_HOST_RE = r"^https?://([^/]+)"
+
+
+def host_stats(sf_dir: str) -> pd.DataFrame:
+    """(host, n_pages, n_edges, avg_outdeg): per-host page count,
+    same-host link-edge count (the pagerank/components edge set), and
+    mean out-degree (ROUND half-away, 4).
+
+    Scale shape: per-batch partial (host, pages, edges) counts from
+    BOTH inputs (corpus pages and derived edges — src is always a
+    corpus page and edges are same-host, so every host appears on the
+    page side), then ONE groupby(host) sum. The shuffle carries
+    O(hosts x blocks) partial rows, never pages or edges."""
+    corpus = corpus_parquet(sf_dir)
+
+    def page_partial(batch: pa.Table) -> pd.DataFrame:
+        h = (batch.column("doc_id").to_pandas().astype(str)
+             .str.extract(_HOST_RE, expand=False))
+        vc = h.value_counts()
+        return pd.DataFrame({"host": vc.index.to_numpy(dtype=object),
+                             "pages": vc.to_numpy(dtype="int64"),
+                             "edges": np.int64(0)})
+
+    def edge_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        h = batch["src"].astype(str).str.extract(_HOST_RE, expand=False)
+        vc = h.value_counts()
+        return pd.DataFrame({"host": vc.index.to_numpy(dtype=object),
+                             "pages": np.int64(0),
+                             "edges": vc.to_numpy(dtype="int64")})
+
+    out = (rd.read_parquet(corpus, columns=["doc_id"])
+           .map_batches(page_partial, batch_format="pyarrow")
+           .union(_edges_ds(corpus).map_batches(edge_partial,
+                                                batch_format="pandas"))
+           .groupby("host").sum(["pages", "edges"])
+           .to_pandas())
+    pages = out["sum(pages)"].to_numpy(dtype="int64")
+    edges = out["sum(edges)"].to_numpy(dtype="int64")
+    res = pd.DataFrame({
+        "host": out["host"],
+        "n_pages": pages,
+        "n_edges": edges,
+        "avg_outdeg": round_half_away(
+            edges.astype("float64") / pages),
+    })
+    return res.sort_values("host").reset_index(drop=True)
+
+
+def host_stats_sql(corpus_path: str) -> str:
+    """DuckDB oracle for :func:`host_stats` over the shared edge CTEs."""
+    return f"""
+WITH {_edge_ctes_sql(corpus_path)},
+p AS (SELECT regexp_extract(doc_id, '{_HOST_RE}', 1) AS host,
+             CAST(COUNT(*) AS BIGINT) AS n_pages
+      FROM read_parquet('{corpus_path}') GROUP BY 1),
+eh AS (SELECT regexp_extract(src, '{_HOST_RE}', 1) AS host,
+              CAST(COUNT(*) AS BIGINT) AS n_edges
+       FROM edges GROUP BY 1)
+SELECT p.host, p.n_pages, COALESCE(eh.n_edges, 0) AS n_edges,
+       ROUND(CAST(COALESCE(eh.n_edges, 0) AS DOUBLE) / p.n_pages, 4)
+         AS avg_outdeg
+FROM p LEFT JOIN eh USING (host) ORDER BY host"""

@@ -633,3 +633,135 @@ def temperature_sample(sf_dir: str, group_col: str = "lang",
         out = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
                             group_col: pd.Series(dtype=object)})
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def sample_per_group(sf_dir: str, k: int = 40,
+                     group_col: str = "lang") -> pd.DataFrame:
+    """(doc_id, <group_col>): deterministic ``k``-per-group sample —
+    the k docs with the smallest (crc32(str(doc_id)), doc_id) rank key
+    within each group. The hash rank makes the pick uniform-ish and
+    reproducible on any cluster shape (same contract as sample_docs);
+    the doc_id tie-break pins hash collisions.
+
+    Scale shape — a distributed top-k PER GROUP: each block keeps at
+    most k rows per group it sees (vectorized partial cut), then ONE
+    groupby(group) shuffle over those partials finishes the cut in the
+    group's single block. The shuffle carries O(k x groups x blocks)
+    rows, never the corpus; no global sort.
+    """
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", group_col])
+
+    def rank_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy().astype("int64")
+        h = crc32_many(pa.array(ids.astype(str).tolist(), pa.string()))
+        out = pd.DataFrame({"doc_id": ids,
+                            group_col: batch[group_col].to_numpy(),
+                            "h": h.astype("int64")})
+        return (out.sort_values(["h", "doc_id"])
+                .groupby(group_col, sort=False).head(k))
+
+    def final_cut(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["h", "doc_id"]).head(k)
+
+    out = (ds.map_batches(rank_rows, batch_format="pandas")
+           .groupby(group_col).map_groups(final_cut,
+                                          batch_format="pandas")
+           .to_pandas())
+    return (out[["doc_id", group_col]]
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+def _ngram_rows(text: pd.Series, n: int) -> tuple[np.ndarray, pd.Series]:
+    """(row_index, ngram_string) arrays for every word ``n``-gram in a
+    batch of texts — fully vectorized: ONE explode, n-1 shifted
+    elementwise string concats, a same-row boundary mask."""
+    toks = text.str.strip().str.split(_WS).reset_index(drop=True)
+    ex = toks.explode()
+    idx = ex.index.to_numpy(dtype="int64")
+    w = pd.Series(ex.to_numpy(dtype=object))
+    m = len(w) - (n - 1)
+    if m <= 0:
+        return np.empty(0, dtype="int64"), pd.Series([], dtype=object)
+    ng = w.iloc[0:m].reset_index(drop=True)
+    for i in range(1, n):
+        ng = ng + " " + w.iloc[i:m + i].reset_index(drop=True)
+    same = idx[0:m] == idx[n - 1:]          # n-gram stays inside one doc
+    return idx[0:m][same], ng[same]
+
+
+def decontaminate_ngrams(sf_dir: str, holdout_permille: int = 100,
+                         n: int = 5) -> pd.DataFrame:
+    """Benchmark-style n-gram decontamination (the GPT-3 appendix-C /
+    open-LM-suite discipline, at word-``n``-gram granularity): which
+    training docs contain any word n-gram that also appears in the
+    held-out eval slice, and how many DISTINCT such n-grams each one
+    contains.
+
+    Split = the deterministic crc32(doc_id) permille bucket shared with
+    :func:`decontaminate` (top ``holdout_permille`` buckets = eval).
+
+    Scale shape: the eval side's distinct n-gram set is collected once
+    (eval suites are KB-MB scale against a 100 TB train side) and
+    broadcast via ray.put; both sides stream — per-batch vectorized
+    n-gram generation (one explode + n-1 shifted concats, no per-row
+    loop), set-membership filter, per-doc distinct count. The train
+    corpus never shuffles and never materializes.
+
+    Returns (doc_id, n_hits) per contaminated TRAINING doc, by doc_id.
+    """
+    import ray
+
+    cut = 1000 - holdout_permille
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def bucket_of(ids: np.ndarray) -> np.ndarray:
+        h = crc32_many(pa.array(ids.astype(str).tolist(), pa.string()))
+        return (h % np.uint32(1000)).astype("int64")
+
+    def eval_ngrams(batch: pd.DataFrame) -> pa.Table:
+        # typed Arrow output: Ray's block-size estimator chokes on
+        # empty object-dtype pandas columns
+        ids = batch["doc_id"].to_numpy().astype("int64")
+        hold = bucket_of(ids) >= cut
+        if not hold.any():
+            return pa.table({"ng": pa.array([], pa.string())})
+        _, ng = _ngram_rows(batch["text"][hold], n)
+        return pa.table({"ng": pa.array(ng.drop_duplicates(),
+                                        pa.string())})
+
+    hold_ng = ds.map_batches(eval_ngrams,
+                             batch_format="pandas").to_pandas()
+    ng_ref = ray.put(frozenset(hold_ng["ng"]))
+
+    class Hits:
+        def __init__(self):
+            self.ngs = ray.get(ng_ref)   # one deserialization per actor
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            ids = batch["doc_id"].to_numpy().astype("int64")
+            train = bucket_of(ids) < cut
+            if not train.any():
+                return pd.DataFrame({
+                    "doc_id": pd.Series(dtype="int64"),
+                    "n_hits": pd.Series(dtype="int64")})
+            sub = batch["text"][train]
+            idx, ng = _ngram_rows(sub, n)
+            hit = ng.isin(self.ngs).to_numpy()
+            f = (pd.DataFrame({"i": idx[hit],
+                               "ng": ng[hit].to_numpy()})
+                 .drop_duplicates())
+            cnt = f.groupby("i").size()
+            return pd.DataFrame({
+                "doc_id": ids[train][cnt.index.to_numpy(dtype="int64")],
+                "n_hits": cnt.to_numpy(dtype="int64")})
+
+    from ..functions.pool import auto_pool
+
+    out = ds.map_batches(Hits, batch_format="pandas",
+                         concurrency=auto_pool(frac=0.25)).to_pandas()
+    if "doc_id" not in out.columns:
+        out = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                            "n_hits": pd.Series(dtype="int64")})
+    return out.sort_values("doc_id").reset_index(drop=True)

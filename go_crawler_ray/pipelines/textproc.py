@@ -627,3 +627,96 @@ z AS (SELECT doc_id,
   AS z FROM f)
 SELECT doc_id, ROUND(1.0 / (1.0 + exp(-z)), 4) AS score FROM z
 ORDER BY doc_id"""
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM surprisal (the CCNet-style perplexity quality filter:
+# Wenzek et al. 2020 score documents with a language model and keep the
+# low-perplexity tail; here the LM is the corpus's own unigram model)
+
+def unigram_surprisal(sf_dir: str) -> pd.DataFrame:
+    """(doc_id, surprisal): mean unigram-LM surprisal per document in
+    nats — sum over tokens of -ln(count(w)/total_tokens), divided by
+    the document's token count.
+
+    The per-token surprisals are INTEGER-quantized (micro-nats,
+    round-half-away) before the per-document sum, so accumulation is
+    order-free exact int64 arithmetic and the SQL oracle can mirror the
+    score with no float-summation-order hazard; the only float ops are
+    the per-WORD ln (libm scalar on both sides — the bm25 oracle
+    already pins DuckDB ln == math.log here) and the final mean.
+
+    Scale shape — two streaming passes:
+    1. unigram census: per-batch partial counts -> ONE groupby-sum
+       shuffle over unique words -> the vocabulary table (rows = vocab
+       size, not corpus size). The quantized log-prob table is built
+       driver-side and broadcast via ray.put; at web scale you'd prune
+       to the tokenizer's top-V words + an OOV bucket — same plumbing,
+       the census already yields counts in rank order.
+    2. scoring: stateless vectorized map (explode -> dict lookup ->
+       segment sum); the corpus never shuffles.
+    """
+    import math
+
+    import ray
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def partial_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        vc = (batch["text"].str.strip().str.split(_WS)
+              .explode().value_counts())
+        return pd.DataFrame({"word": vc.index.to_numpy(dtype=object),
+                             "n": vc.to_numpy(dtype="int64")})
+
+    census = (ds.map_batches(partial_counts, batch_format="pandas")
+              .groupby("word").sum("n").to_pandas())
+    total = int(census["sum(n)"].sum())
+    # micro-nat quantization: scalar libm ln over the identical double
+    # ratio DuckDB computes, then the shared half-away round
+    qtab = {w: int(round_half_away(-math.log(int(n) / total) * 1e6, 0))
+            for w, n in zip(census["word"], census["sum(n)"])}
+    q_ref = ray.put(qtab)
+
+    class Score:
+        def __init__(self):
+            self.q = ray.get(q_ref)     # one deserialization per actor
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            toks = (batch["text"].str.strip().str.split(_WS)
+                    .reset_index(drop=True))
+            nt = toks.str.len().to_numpy(dtype="int64")
+            ex = toks.explode()
+            qs = ex.map(self.q).to_numpy(dtype="int64")
+            sq = np.zeros(len(batch), dtype="int64")
+            np.add.at(sq, ex.index.to_numpy(dtype="int64"), qs)
+            return pd.DataFrame({
+                "doc_id": batch["doc_id"].astype("int64"),
+                "surprisal": round_half_away(
+                    sq.astype("float64") / nt / 1e6),
+            })
+
+    out = ds.map_batches(Score, batch_format="pandas",
+                         concurrency=auto_pool()).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def unigram_surprisal_sql() -> str:
+    """DuckDB oracle for :func:`unigram_surprisal`: same tokenizer
+    pairing, same census, same micro-nat integer quantization
+    (ROUND(-ln(ratio) * 1e6, 0) == round_half_away), exact int64
+    per-doc sums, and the identical final double division chain."""
+    toks = "regexp_split_to_array(trim(text), '\\s+')"
+    return f"""
+WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+w AS (SELECT unnest(toks) AS word FROM t),
+c AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM w GROUP BY word),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c),
+q AS (SELECT word, CAST(ROUND(-ln(CAST(n AS DOUBLE) / total)
+                         * 1000000.0, 0) AS BIGINT) AS q
+      FROM c CROSS JOIN tot),
+d AS (SELECT doc_id, unnest(toks) AS word FROM t),
+s AS (SELECT d.doc_id, CAST(SUM(q.q) AS BIGINT) AS sq,
+             CAST(COUNT(*) AS BIGINT) AS nt
+      FROM d JOIN q USING (word) GROUP BY d.doc_id)
+SELECT doc_id, ROUND(CAST(sq AS DOUBLE) / nt / 1000000.0, 4) AS surprisal
+FROM s ORDER BY doc_id"""

@@ -1082,3 +1082,112 @@ class TestModelAndTemperature:
         # the skewed majority group IS thinned (non-vacuous op)
         biggest = max(n_by, key=n_by.get)
         assert (got["lang"] == biggest).sum() < n_by[biggest]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSurprisalAndDecon:
+    def test_surprisal_matches_local_model(self):
+        """Distributed census + scoring == a single-process unigram LM
+        over the same tokens (micro-nat quantization is the spec)."""
+        import math
+        from collections import Counter
+
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from go_crawler_ray.functions.compat import round_half_away
+        from go_crawler_ray.pipelines.textproc import (_WS,
+                                                       unigram_surprisal)
+
+        sf = "/root/testdata/sf0.001"
+        got = unigram_surprisal(sf)
+        docs = pq.read_table(f"{sf}/documents.parquet",
+                             columns=["doc_id", "text"]).to_pandas()
+        cnt = Counter()
+        toks = {}
+        for did, t in zip(docs["doc_id"], docs["text"]):
+            ws = _WS.split(t.strip())
+            toks[int(did)] = ws
+            cnt.update(ws)
+        total = sum(cnt.values())
+        q = {w: int(round_half_away(-math.log(c / total) * 1e6, 0))
+             for w, c in cnt.items()}
+        want = pd.DataFrame({
+            "doc_id": sorted(toks),
+            "surprisal": [round_half_away(
+                sum(q[w] for w in toks[d]) / len(toks[d]) / 1e6)
+                for d in sorted(toks)],
+        })
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        # rarer-token docs must score higher than common-token docs on
+        # average — sanity that the sign convention is surprisal
+        assert got["surprisal"].min() > 0
+
+    def test_sample_per_group_invariants(self):
+        """Exactly min(k, group size) rows per group; the pick is the
+        k smallest (crc32, doc_id) keys in each group."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from go_crawler_ray.functions.hashing import crc32_many
+        from go_crawler_ray.pipelines.sampling import sample_per_group
+
+        sf = "/root/testdata/sf0.001"
+        k = 7
+        got = sample_per_group(sf, k=k)
+        docs = pq.read_table(f"{sf}/documents.parquet",
+                             columns=["doc_id", "lang"]).to_pandas()
+        h = crc32_many(pa.array(docs["doc_id"].astype(str).tolist(),
+                                pa.string())).astype("int64")
+        docs = docs.assign(h=h)
+        for lang, g in docs.groupby("lang"):
+            want_ids = set(g.sort_values(["h", "doc_id"])
+                           .head(k)["doc_id"])
+            got_ids = set(got.loc[got["lang"] == lang, "doc_id"])
+            assert got_ids == want_ids, lang
+
+    def test_decontaminate_ngrams_planted(self, tmp_path):
+        """A train doc sharing a 5-gram with an eval doc is flagged
+        with the exact distinct-overlap count; disjoint docs are not."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from go_crawler_ray.functions.hashing import crc32_many
+        from go_crawler_ray.pipelines.sampling import decontaminate_ngrams
+
+        # find ids on each side of the crc bucket split
+        ids = list(range(200))
+        b = crc32_many(pa.array([str(i) for i in ids],
+                                pa.string())) % np.uint32(1000)
+        train_ids = [i for i in ids if b[i] < 900]
+        eval_ids = [i for i in ids if b[i] >= 900]
+        assert train_ids and eval_ids
+        shared = "alpha beta gamma delta epsilon"
+        rows, texts = [], {}
+        # eval doc carries the shared 5-gram; one train doc embeds it
+        texts[eval_ids[0]] = f"x0 x1 {shared} x2 x3"
+        texts[train_ids[0]] = f"y0 {shared} y1 y2 y3 y4"
+        texts[train_ids[1]] = "z0 z1 z2 z3 z4 z5 z6 z7"
+        for i in [eval_ids[0], train_ids[0], train_ids[1]]:
+            rows.append({"doc_id": i, "text": texts[i]})
+        tbl = pa.Table.from_pylist(rows)
+        pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+        out = decontaminate_ngrams(str(tmp_path))
+        assert list(out["doc_id"]) == [train_ids[0]]
+        assert int(out["n_hits"].iloc[0]) == 1
+
+    def test_host_stats_consistency(self):
+        """Host page counts sum to the corpus size; edge counts sum to
+        the pagerank edge-set size; 0-edge hosts keep avg_outdeg 0."""
+        import pyarrow.parquet as pq
+
+        from go_crawler_ray.pipelines.crawl_queries import corpus_parquet
+        from go_crawler_ray.pipelines.graph import host_stats
+
+        sf = "/root/testdata/sf0.001"
+        got = host_stats(sf)
+        n_pages = pq.ParquetFile(corpus_parquet(sf)).metadata.num_rows
+        assert int(got["n_pages"].sum()) == n_pages
+        assert (got["n_edges"] >= 0).all()
+        exp = got["n_edges"] / got["n_pages"]
+        assert np.allclose(got["avg_outdeg"], exp.round(4), atol=1e-4)

@@ -78,6 +78,8 @@ ORACLE_KEYS = [
     "text_tfidf", "approx_distinct_tokens", "order_revenue_topk",
     "graph_pagerank", "graph_components", "dedup_bloom_incremental",
     "text_bm25", "text_model_score", "temperature_sample",
+    "text_surprisal", "sample_per_group", "decontaminate_ngrams",
+    "graph_host_stats",
 ]
 
 
