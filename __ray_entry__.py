@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_clusters": _dedup.minhash_clusters,
         "dedup_simhash": _dedup.simhash_signatures,
         "dedup_simhash_pairs": _dedup.simhash_near_pairs,
+        "dedup_simhash_clusters": _dedup.simhash_clusters,
         "dedup_ngram_jaccard": _dedup.ngram_jaccard_pairs,
         "dedup_embedding_cosine": _dedup.embedding_near_pairs,
         "dedup_embedding_clusters": _dedup.embedding_clusters,
@@ -176,12 +177,11 @@ SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
 FROM sel ORDER BY doc_id"""
 
 
-def _simhash_pairs_sql(sf_dir: str, max_hamming: int = 3) -> str:
-    """Brute-force Hamming self-join over the signatures sidecar the
-    pair query writes (pipelines/dedup.py:simhash_sidecar_path). The
-    engine's banded join must reproduce this with full recall (4x16
-    band pigeonhole at <= 3 bits); the signature kernel itself stays
-    pinned by the brute-force parity test."""
+def _ensure_simhash_sidecar(sf_dir: str) -> str:
+    """Path to the signatures sidecar the pair query writes
+    (pipelines/dedup.py:simhash_sidecar_path), materializing it
+    driver-side with the same deterministic kernel if the oracle is
+    evaluated before the engine ran (no Ray involved)."""
     import glob
     import os
 
@@ -190,9 +190,6 @@ def _simhash_pairs_sql(sf_dir: str, max_hamming: int = 3) -> str:
 
     side = simhash_sidecar_path(sf_dir)
     if not glob.glob(f"{side}/*.parquet"):
-        # the pair query normally writes the sidecar worker-side; if the
-        # oracle is evaluated first, materialize it here driver-side with
-        # the same deterministic kernel (no Ray involved)
         import pyarrow.parquet as _pq
 
         docs = _pq.read_table(f"{sf_dir}/documents.parquet",
@@ -200,6 +197,15 @@ def _simhash_pairs_sql(sf_dir: str, max_hamming: int = 3) -> str:
         os.makedirs(side, exist_ok=True)
         sigs = SimHashStage()(docs)
         sigs.to_parquet(f"{side}/sigs.parquet", index=False)
+    return side
+
+
+def _simhash_pairs_sql(sf_dir: str, max_hamming: int = 3) -> str:
+    """Brute-force Hamming self-join over the signatures sidecar. The
+    engine's banded join must reproduce this with full recall (4x16
+    band pigeonhole at <= 3 bits); the signature kernel itself stays
+    pinned by the brute-force parity test."""
+    side = _ensure_simhash_sidecar(sf_dir)
     return (
         f"SELECT a.doc_id AS a, b.doc_id AS b, "
         f"CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming "
@@ -207,6 +213,27 @@ def _simhash_pairs_sql(sf_dir: str, max_hamming: int = 3) -> str:
         f"JOIN read_parquet('{side}/*.parquet') b ON a.doc_id < b.doc_id "
         f"WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming} "
         f"ORDER BY a, b")
+
+
+def _simhash_clusters_sql(sf_dir: str, max_hamming: int = 3) -> str:
+    """Connected components (cluster_id = component-min doc_id) of the
+    brute-force Hamming pair graph over the signatures sidecar. Unlike
+    the minhash-cluster oracle this equality is UNCONDITIONAL: at
+    <= 3 differing bits the 4x16-bit band split guarantees >= 1 band
+    agrees exactly (pigeonhole), so the engine's banded join has full
+    recall by construction, not by data luck."""
+    side = _ensure_simhash_sidecar(sf_dir)
+    sigs = f"read_parquet('{side}/*.parquet')"
+    return (
+        f"WITH RECURSIVE prs AS (SELECT a.doc_id AS a, b.doc_id AS b "
+        f"FROM {sigs} a JOIN {sigs} b ON a.doc_id < b.doc_id "
+        f"WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}), "
+        f"edges AS (SELECT a AS u, b AS v FROM prs "
+        f"UNION ALL SELECT b AS u, a AS v FROM prs), "
+        f"reach(u, v) AS (SELECT doc_id, doc_id FROM {sigs} "
+        f"UNION SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v) "
+        f"SELECT u AS doc_id, CAST(MIN(v) AS BIGINT) AS cluster_id "
+        f"FROM reach GROUP BY u ORDER BY doc_id")
 
 
 def _crc32_sql(col: str) -> str:
@@ -511,6 +538,7 @@ def oracle_sql() -> dict[str, str]:
         # the driver compares at _ORACLE_SF_DIR; the pair query writes
         # its signature sidecar for that sf_dir before returning
         "dedup_simhash_pairs": _simhash_pairs_sql(_ORACLE_SF_DIR),
+        "dedup_simhash_clusters": _simhash_clusters_sql(_ORACLE_SF_DIR),
         # independent SQL crc32+vote reimplementation of the signature
         # kernel — with this, the pairs oracle's sidecar is no longer
         # self-referential on the signatures

@@ -161,6 +161,36 @@ class TestDedup:
         got = simhash_near_pairs(SF, max_hamming=3)
         assert list(zip(got["a"], got["b"], got["hamming"])) == want
 
+    def test_simhash_clusters_match_brute_force_components(self):
+        """Distributed Hash-to-Min components over the banded pair graph
+        == union-find over the all-pairs Hamming scan."""
+        from go_crawler_ray.pipelines.dedup import (_popcount64,
+                                                    simhash_clusters,
+                                                    simhash_signatures)
+
+        sigs = simhash_signatures(SF)
+        ids = sigs["doc_id"].to_numpy()
+        h = sigs["simhash"].to_numpy().view(np.uint64)
+        parent = {int(i): int(i) for i in ids}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for i in range(len(ids)):
+            d = _popcount64(h[i] ^ h[i + 1:])
+            for off in np.nonzero(d <= 3)[0]:
+                a, b = find(int(ids[i])), find(int(ids[i + 1 + off]))
+                if a != b:
+                    parent[max(a, b)] = min(a, b)
+        want = {i: find(i) for i in map(int, ids)}
+        got = simhash_clusters(SF, max_hamming=3)
+        assert dict(zip(got["doc_id"], got["cluster_id"])) == want
+        # non-vacuous: the sf0.001 corpus has at least one near-dup pair
+        assert (got["cluster_id"] != got["doc_id"]).any()
+
     def test_embedding_block_join_matches_single_matmul(self):
         """Partitioned block-pair cosine join == one full matmul."""
         import ray.data as rd
