@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding_cosine": _dedup.embedding_near_pairs,
         "dedup_embedding_clusters": _dedup.embedding_clusters,
         "dedup_dup_spans": _dedup.duplicate_ngram_spans,
+        "dedup_paragraphs": _dedup.paragraph_dedup,
         # --- similarity search ---
         "ann_brute_force_topk": _ann.brute_force_topk,
         "ann_lsh_topk": _ann.lsh_topk,                      # rows-only
@@ -627,6 +628,16 @@ def oracle_sql() -> dict[str, str]:
         # duplicated-k-gram spans (exact substring-level dedup at token
         # 8-gram granularity): census -> >=2 occurrences -> per-doc
         # island merge of overlapping/touching gram starts
+        # paragraph-level exact dedup: global first-occurrence verdict
+        # per 16-token window, winner = lexicographic (doc_id, para_idx)
+        "dedup_paragraphs": (
+            f"WITH t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents), "
+            f"p AS (SELECT doc_id, CAST(i AS BIGINT) AS para_idx, "
+            f"md5(array_to_string(toks[i*16+1 : i*16+16], ' ')) AS ph "
+            f"FROM t, UNNEST(range(0, (len(toks)+15)//16)) AS r(i)) "
+            f"SELECT doc_id, para_idx, CAST(ROW_NUMBER() OVER "
+            f"(PARTITION BY ph ORDER BY doc_id, para_idx) = 1 AS BIGINT) "
+            f"AS keep FROM p ORDER BY doc_id, para_idx"),
         "dedup_dup_spans": (
             f"WITH tok AS (SELECT doc_id, {_TOKENS} AS t FROM documents), "
             f"g AS (SELECT doc_id, i - 1 AS pos, "

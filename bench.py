@@ -165,6 +165,7 @@ def run_bench() -> dict:
             ("sample_per_group", _sample.sample_per_group),
             ("decontaminate_ngrams", _sample.decontaminate_ngrams),
             ("dedup_exact", _dedup.exact_dedup),
+            ("dedup_paragraphs", _dedup.paragraph_dedup),
             ("dedup_minhash_clusters", _dedup.minhash_clusters),
             ("dedup_dup_spans", _dedup.duplicate_ngram_spans),
             ("dedup_embedding_clusters", _dedup.embedding_clusters),

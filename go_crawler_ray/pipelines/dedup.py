@@ -1157,3 +1157,61 @@ def bloom_incremental(sf_dir: str, key_words: int = 3,
     out = pd.DataFrame({"doc_id": new["doc_id"].astype("int64"),
                         "fp": new["fp"]})
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-level exact dedup (the MassiveText/Gopher discipline, Rae et
+# al. 2021 — public: remove repeated passages ACROSS documents, not just
+# whole-document duplicates; boilerplate headers/footers dominate real
+# web corpora and whole-doc dedup never sees them)
+
+def paragraph_dedup(sf_dir: str, para_tokens: int = 16) -> pd.DataFrame:
+    """(doc_id, para_idx, keep): global first-occurrence verdict per
+    paragraph — ``keep=1`` iff this is the corpus-wide FIRST occurrence
+    (smallest (doc_id, para_idx)) of the paragraph's content.
+
+    Paragraphs are non-overlapping ``para_tokens``-token windows (the
+    synthetic corpus is a flat word stream; on real documents the same
+    operator keys on blank-line splits — only ``explode_paras``
+    changes). Content identity is the md5 of the space-joined window,
+    matching DuckDB's ``md5()`` so the oracle is hash-exact.
+
+    Scale shape: ONE hash shuffle. The explode emits slim
+    (doc_id, para_idx, md5) rows — paragraph TEXT never enters the
+    shuffle — and one groupby(md5) marks each group's lexicographic
+    minimum. No broadcast table, no driver state; rows out = paragraphs
+    in, so the verdict table streams straight to a sink at any scale.
+    The md5 loop is a real per-paragraph kernel (same discipline as the
+    fingerprint op), distributed across map tasks."""
+    import hashlib
+
+    ds = _read_docs(sf_dir, ["doc_id", "text"], _docs_blocks(sf_dir))
+
+    def explode_paras(batch: pd.DataFrame) -> pd.DataFrame:
+        ids: list[int] = []
+        pidx: list[int] = []
+        ph: list[str] = []
+        for did, t in zip(batch["doc_id"].astype("int64"), batch["text"]):
+            toks = _WS.split(t.strip())
+            for i in range(0, len(toks), para_tokens):
+                ids.append(did)
+                pidx.append(i // para_tokens)
+                ph.append(hashlib.md5(
+                    " ".join(toks[i:i + para_tokens]).encode()).hexdigest())
+        return pd.DataFrame({"doc_id": np.array(ids, dtype="int64"),
+                             "para_idx": np.array(pidx, dtype="int64"),
+                             "ph": ph})
+
+    def mark_first(g: pd.DataFrame) -> pd.DataFrame:
+        d = g["doc_id"].to_numpy()
+        p = g["para_idx"].to_numpy()
+        keep = np.zeros(len(g), dtype="int64")
+        keep[np.lexsort((p, d))[0]] = 1
+        return pd.DataFrame({"doc_id": d, "para_idx": p, "keep": keep})
+
+    out = (ds.map_batches(explode_paras, batch_format="pandas")
+           .groupby("ph").map_groups(mark_first, batch_format="pandas")
+           .to_pandas())
+    return (out.astype({"doc_id": "int64", "para_idx": "int64",
+                        "keep": "int64"})
+            .sort_values(["doc_id", "para_idx"]).reset_index(drop=True))

@@ -191,6 +191,34 @@ class TestDedup:
         # non-vacuous: the sf0.001 corpus has at least one near-dup pair
         assert (got["cluster_id"] != got["doc_id"]).any()
 
+    def test_paragraph_dedup_matches_local(self):
+        """Distributed first-occurrence marking == a single-process scan
+        in (doc_id, para_idx) order; duplicate windows exist at sf0.001
+        (non-vacuous) and exactly one occurrence per hash keeps."""
+        import hashlib
+
+        import pyarrow.parquet as pq
+
+        from go_crawler_ray.pipelines.dedup import _WS, paragraph_dedup
+
+        P = 16
+        got = paragraph_dedup(SF, para_tokens=P)
+        docs = (pq.read_table(f"{SF}/documents.parquet",
+                              columns=["doc_id", "text"]).to_pandas()
+                .sort_values("doc_id"))
+        seen, want = set(), {}
+        for did, t in zip(docs["doc_id"].astype(int), docs["text"]):
+            toks = _WS.split(t.strip())
+            for i in range(0, len(toks), P):
+                h = hashlib.md5(
+                    " ".join(toks[i:i + P]).encode()).hexdigest()
+                want[(did, i // P)] = int(h not in seen)
+                seen.add(h)
+        assert dict(zip(zip(got["doc_id"], got["para_idx"]),
+                        got["keep"])) == want
+        assert (got["keep"] == 0).any()          # corpus has dup windows
+        assert got["keep"].sum() < len(got)
+
     def test_embedding_block_join_matches_single_matmul(self):
         """Partitioned block-pair cosine join == one full matmul."""
         import ray.data as rd

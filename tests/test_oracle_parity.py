@@ -79,7 +79,7 @@ ORACLE_KEYS = [
     "graph_pagerank", "graph_components", "dedup_bloom_incremental",
     "text_bm25", "text_model_score", "temperature_sample",
     "text_surprisal", "sample_per_group", "decontaminate_ngrams",
-    "graph_host_stats", "dedup_simhash_clusters",
+    "graph_host_stats", "dedup_simhash_clusters", "dedup_paragraphs",
 ]
 
 
