@@ -80,7 +80,10 @@ def run_bench() -> dict:
         fetch_concurrency=num_cpus, batch_size=4096,
         checkpoint_dir=f"/dev/shm/graft_bench_ckpt_{num_cpus}",  # docs stream to per-worker files; shm stands in for the per-node disks a real cluster scales with
         write_docs=True, localize=True, enrich_docs=True,
-        snapshot_seen=False))   # don't haul the seen set onto the driver
+        snapshot_seen=False,    # don't haul the seen set onto the driver
+        # object-store-resident frontier (the 10^10 regime); override
+        # with GRAFT_FRONTIER_REFS=0 to time the table-mode path
+        frontier_refs=os.environ.get("GRAFT_FRONTIER_REFS", "1") == "1"))
 
     # untimed warm-up: run the fused fetch/parse/save stage over a fake
     # frontier wide enough to spawn EVERY worker (one cold worker costs

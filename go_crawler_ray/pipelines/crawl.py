@@ -49,10 +49,13 @@ map task -> seen shard -> (kept rows only) frontier; per-round driver
 state is O(accepted) integer columns plus the assembled next frontier.
 Docs stream straight to partitioned Parquet per round (resumable); the
 corpus side would swap InMemoryCorpusBackend for
-PartitionedCorpusBackend. The one remaining driver-resident structure is
-the inter-round frontier table itself — bounded by politeness round caps;
-at 10^10 keep it as per-shard tables/object refs and feed
-``rd.from_arrow`` directly from those.
+PartitionedCorpusBackend. With ``CrawlConfig.frontier_refs=True`` the
+inter-round frontier itself is object-store-resident too: seen shards
+put kept slices, rounds consume ``rd.from_arrow_refs``, checkpoints are
+written by Ray tasks — the driver holds only refs + counts (the last
+driver-resident structure, now optional; table mode remains the default
+for small conformance crawls). Equivalence is pinned by
+tests/test_resume_politeness.py::TestFrontierRefs.
 """
 
 from __future__ import annotations
@@ -123,6 +126,17 @@ class CrawlConfig:
     # groupby/sort path of the north-star design for frontiers that exceed
     # driver memory
     driver_sort_threshold: int = 2_000_000
+    # [NEW] object-store-resident frontier: the accepted rows NEVER land
+    # on the driver — seen shards put kept slices into the object store
+    # and the round consumes them via ray.data.from_arrow_refs; visit
+    # deltas and frontier checkpoints are written by Ray tasks
+    # worker-side. The driver holds only refs + counts: this is the
+    # 10^10-frontier regime (VERDICT r2 #5). Semantics are identical to
+    # table mode (equivalence-tested); CrawlResult.visit_order is still
+    # materialized at the END for presentation — at true scale read the
+    # checkpoint delta chain instead. Incompatible with robots=True
+    # (the robots filter is a driver-side table pass).
+    frontier_refs: bool = False
 
 
 class _FetchFn:
@@ -244,6 +258,39 @@ _FRONTIER_COLS = ["url", "seq", "kind", "parent_seq", "position", "depth",
                   "priority", "host"]
 
 
+@ray.remote(num_cpus=0, num_returns=2)
+def _arrow_block_and_count(t):
+    """(arrow table, row count) for a materialized Ray Data block — Ray
+    passes EMPTY blocks through map operators as pandas DataFrames, so
+    ``to_arrow_refs`` can yield mixed types; refs-mode consumers
+    (from_arrow_refs, the checkpoint task) need uniform Arrow blocks."""
+    if not isinstance(t, pa.Table):
+        t = (pa.Table.from_pandas(t, preserve_index=False)
+             if len(t) else None)
+    if t is None or t.num_rows == 0:
+        return _empty_frontier(), 0
+    return t, t.num_rows
+
+
+@ray.remote(num_cpus=0)
+def _ckpt_write_refs_task(rdir: str, frontier_refs: list,
+                          deferred_refs: list, visit_refs: list,
+                          extra: pa.Table) -> None:
+    """Worker-side checkpoint data write for refs-mode: resolves the
+    object-store refs HERE (never on the driver) and writes the round's
+    parquet files. ``rdir`` must be reachable from workers (per-node
+    local in this sandbox; shared storage on a real cluster)."""
+    def cat(refs: list) -> pa.Table:
+        ts = [t for t in ray.get(list(refs)) if t.num_rows]
+        return (pa.concat_tables(ts, promote_options="default")
+                if ts else _empty_frontier())
+
+    pq.write_table(cat(frontier_refs), os.path.join(rdir, "frontier.parquet"))
+    pq.write_table(cat(deferred_refs), os.path.join(rdir, "deferred.parquet"))
+    pq.write_table(cat(visit_refs), os.path.join(rdir, "visit_delta.parquet"))
+    pq.write_table(extra, os.path.join(rdir, "seen_extra_delta.parquet"))
+
+
 def _empty_frontier() -> pa.Table:
     return pa.table({
         "url": pa.array([], pa.string()), "seq": pa.array([], pa.int64()),
@@ -265,6 +312,9 @@ class Crawler:
         hash-partitioned on-disk corpus (the 100 TB layout — workers load
         only the partitions their URLs hash into)."""
         self.cfg = config or CrawlConfig()
+        if self.cfg.frontier_refs and self.cfg.robots:
+            raise ValueError("frontier_refs mode does not support the "
+                             "robots filter (driver-side table pass)")
         from ..stages.fetch import CorpusSpec, build_corpus_index
 
         if isinstance(corpus, CorpusSpec):
@@ -297,6 +347,14 @@ class Crawler:
         self._seen_extra_new: list[pa.Table] = []
         self._last_offered = 0
         self._deferred = _empty_frontier()
+        # refs-mode state: the frontier/deferred/visit live in the object
+        # store; the driver holds refs + row counts only
+        self._frontier_refs: list = []
+        self._frontier_count = 0
+        self._deferred_refs: list = []
+        self._deferred_count = 0
+        self._visit_refs: list = []
+        self._visit_new_refs: list = []
         self.metrics: dict = {
             "rounds": [], "pages_fetched": 0, "assets_fetched": 0,
             "skipped_download": 0, "skipped_robots": 0,
@@ -394,6 +452,9 @@ class Crawler:
         frontier rows. Budget-refused pages stay seen (D1): the insert
         happened shard-side BEFORE the budget cut, mirroring the
         reference's dedup-before-budget ordering (queue.go:92-106)."""
+        if self.cfg.frontier_refs:
+            self._frontier_refs = []
+            self._frontier_count = 0
         slims, offered = self.seen.dedup_round_all()
         self.metrics["candidates"] += offered
         self._last_offered = offered
@@ -436,6 +497,18 @@ class Crawler:
             keeps.append(k)
             seqs.append(seqg[off:off + n][k])
             off += n
+        if self.cfg.frontier_refs:
+            # the kept rows never land here: shards put slices into the
+            # object store; the driver records refs + counts only
+            refs, n_kept, refused_r = self.seen.finalize_round_all_refs(
+                keeps, seqs, step=max(self.cfg.batch_size, 2048))
+            if refused_r:
+                part = pa.concat_tables(refused_r, promote_options="default")
+                self._seen_extra_parts.append(part)
+                self._seen_extra_new.append(part)
+            self._frontier_refs = refs
+            self._frontier_count = n_kept
+            return _empty_frontier()
         kept_tables, refused = self.seen.finalize_round_all(keeps, seqs)
         if refused:
             # budget-refused pages are seen-but-never-enqueued: persist
@@ -457,19 +530,99 @@ class Crawler:
         acc = acc.append_column("priority", pa.array(prio))
         return acc.select(_FRONTIER_COLS)
 
+    # -- refs-mode helpers --------------------------------------------------
+    def _frontier_rows(self) -> int:
+        return (self._frontier_count if self.cfg.frontier_refs
+                else self._frontier.num_rows)
+
+    def _deferred_rows(self) -> int:
+        return (self._deferred_count if self.cfg.frontier_refs
+                else self._deferred.num_rows)
+
+    def _prepare_round_refs(self):
+        """Refs-mode round prep: (lazy Dataset over this round's admitted
+        frontier, admitted row count). Priority is stamped per batch;
+        politeness admission and the (priority, seq) ordering run as one
+        Ray pipeline; deferred rows stay in the object store as block
+        refs. Nothing frontier-sized ever lands on the driver."""
+        cfg = self.cfg
+        n_before = self._frontier_count + self._deferred_count
+        if n_before == 0:
+            return None, 0
+
+        prio_fn = cfg.priority_fn
+
+        def stamp(batch: pa.Table) -> pa.Table:
+            prio = (np.asarray(prio_fn(batch), dtype=np.int32)
+                    if prio_fn is not None
+                    else np.zeros(batch.num_rows, dtype=np.int32))
+            return batch.append_column("priority", pa.array(prio))
+
+        f_ds = (rd.from_arrow_refs(list(self._frontier_refs))
+                .map_batches(stamp, batch_format="pyarrow")
+                if self._frontier_refs else None)
+        d_ds = (rd.from_arrow_refs(list(self._deferred_refs))
+                if self._deferred_refs else None)
+        pre_ds = f_ds.union(d_ds) if (f_ds is not None and d_ds is not None) \
+            else (f_ds if f_ds is not None else d_ds)
+        self._deferred_refs, self._deferred_count = [], 0
+
+        mph = cfg.politeness_max_per_host
+        if mph:
+            def admit_topk(g: pd.DataFrame) -> pd.DataFrame:
+                order = np.lexsort((g["seq"].to_numpy(),
+                                    g["priority"].to_numpy()))
+                admit = np.zeros(len(g), dtype=bool)
+                admit[order[:mph]] = True
+                return g.assign(admit=admit)
+
+            mat = (pre_ds.groupby("host")
+                   .map_groups(admit_topk, batch_format="pandas")
+                   .sort(["priority", "seq"]).materialize())
+
+            def split(flag: bool):
+                def f(b: pa.Table) -> pa.Table:
+                    m = pc.equal(b.column("admit"), flag)
+                    return b.filter(m).drop_columns(["admit"])
+                return f
+
+            dmat = (mat.map_batches(split(False), batch_format="pyarrow")
+                    .materialize())
+            pairs = [_arrow_block_and_count.remote(r)
+                     for r in dmat.to_arrow_refs()]
+            counts = ray.get([p[1] for p in pairs])
+            self._deferred_refs = [p[0] for p, c in zip(pairs, counts) if c]
+            self._deferred_count = int(sum(counts))
+            self.metrics["deferred_total"] += self._deferred_count
+            pre_ds = mat.map_batches(split(True), batch_format="pyarrow")
+            return pre_ds, n_before - self._deferred_count
+        if prio_fn is not None:
+            return pre_ds.sort(["priority", "seq"]), n_before
+        # pure FIFO: within-round fetch order doesn't affect accept
+        # semantics (push order is re-derived shard-side from
+        # (parent_seq, position)); skip the global sort shuffle
+        return pre_ds, n_before
+
     # -- one round --------------------------------------------------------
     def _run_round(self) -> None:
         cfg = self.cfg
         t0 = time.time()
-        current = pa.concat_tables([self._deferred, self._frontier]) \
-            if self._deferred.num_rows else self._frontier
+        if cfg.frontier_refs:
+            pre_ds, n_refs = self._prepare_round_refs()
+            robots_blocked = None
+            current = None
+        else:
+            current = pa.concat_tables([self._deferred, self._frontier]) \
+                if self._deferred.num_rows else self._frontier
         # [NEW] priority frontier: order by (priority, seq) — deferred rows
         # keep their old seq so they go first among equals (FIFO fairness).
         # Small frontiers sort on the driver (vectorized lexsort); huge ones
         # go through a Ray Data sort shuffle (the scale path — exercised in
         # tests via a tiny threshold).
         robots_blocked = None
-        if current.num_rows > self.cfg.driver_sort_threshold:
+        if cfg.frontier_refs:
+            pass                      # refs-mode prep already ran above
+        elif current.num_rows > self.cfg.driver_sort_threshold:
             # scale path: politeness admission AND the (priority, seq)
             # ordering run as ONE Ray pipeline — a groupby(host) stamps
             # the per-host token admit flag (top max_per_host rows by
@@ -534,7 +687,7 @@ class Crawler:
             current = current.filter(pa.array(ok))
 
         # ---- the Ray Data stages over this round's frontier slice ----
-        n = current.num_rows
+        n = n_refs if cfg.frontier_refs else current.num_rows
         docs_round = None
         phase_t: dict[str, float] = {}
         t_mark = time.time()
@@ -552,20 +705,26 @@ class Crawler:
             # blocks; bigger blocks measurably stall the 4-CPU drain on
             # object-store pressure), and never below 256 rows (task
             # overhead floor)
-            nblocks = int(np.clip(
-                max(n // 8192 + 1, 2 * cfg.fetch_concurrency),
-                1, max(1, n // 256 + 1)))
-            # keep batches = blocks: a batch_size below the block size makes
-            # Ray Data re-slice every block (measured 3-5x slower)
             batch_rows = cfg.batch_size
-            if nblocks > 1:
-                # pre-sliced blocks: zero-copy table slices avoid a
-                # Repartition all-to-all operator (a measured barrier)
-                step = -(-n // nblocks)
-                slices = [current.slice(i, step) for i in range(0, n, step)]
-                ds = rd.from_arrow(slices)
+            if cfg.frontier_refs:
+                # blocks are the shard-side object-store slices (already
+                # ~batch_size rows each) — no driver-side slicing at all
+                ds = pre_ds
             else:
-                ds = rd.from_arrow(current)
+                nblocks = int(np.clip(
+                    max(n // 8192 + 1, 2 * cfg.fetch_concurrency),
+                    1, max(1, n // 256 + 1)))
+                # keep batches = blocks: a batch_size below the block size
+                # makes Ray Data re-slice every block (measured 3-5x slower)
+                if nblocks > 1:
+                    # pre-sliced blocks: zero-copy table slices avoid a
+                    # Repartition all-to-all operator (a measured barrier)
+                    step = -(-n // nblocks)
+                    slices = [current.slice(i, step)
+                              for i in range(0, n, step)]
+                    ds = rd.from_arrow(slices)
+                else:
+                    ds = rd.from_arrow(current)
             ds = ds.map_batches(
                 _FetchFn(self.corpus_ref, cfg), batch_format="pyarrow",
                 batch_size=batch_rows, concurrency=cfg.fetch_concurrency)
@@ -656,7 +815,11 @@ class Crawler:
         # ---- accept next frontier (shard-resolved; driver cuts budget) ----
         self._last_offered = 0
         self._frontier = self._resolve_accept()
-        if self._frontier.num_rows:
+        if cfg.frontier_refs:
+            if self._frontier_refs:
+                self._visit_refs.extend(self._frontier_refs)
+                self._visit_new_refs.extend(self._frontier_refs)
+        elif self._frontier.num_rows:
             self._visit_parts.append(self._frontier)
             self._visit_new.append(self._frontier)
         _mark("accept")
@@ -664,8 +827,8 @@ class Crawler:
         self.metrics["rounds"].append({
             "round": self.round, "frontier": n,
             "candidates": self._last_offered,
-            "accepted_next": self._frontier.num_rows,
-            "deferred": self._deferred.num_rows,
+            "accepted_next": self._frontier_rows(),
+            "deferred": self._deferred_rows(),
             "sec": round(time.time() - t0, 4),
             "phases": phase_t,
         })
@@ -686,9 +849,6 @@ class Crawler:
         ckpt = self.cfg.checkpoint_dir
         if not ckpt:
             return
-        visit = (pa.concat_tables(self._visit_new)
-                 if self._visit_new else _empty_frontier())
-        self._visit_new = []
         extra = (pa.concat_tables(self._seen_extra_new)
                  if self._seen_extra_new
                  else pa.table({"url": pa.array([], pa.string()),
@@ -698,8 +858,8 @@ class Crawler:
             "round": self.round, "next_seq": self.next_seq,
             "pages_queued": self.pages_queued,
             "seen_size": self.seen.total_size(),
-            "frontier_rows": self._frontier.num_rows,
-            "deferred_rows": self._deferred.num_rows,
+            "frontier_rows": self._frontier_rows(),
+            "deferred_rows": self._deferred_rows(),
             "docs_parts": None,     # filled by the writer (it lists the dir)
             "round_metrics": self.metrics["rounds"][-1]
             if self.metrics["rounds"] else None,
@@ -708,6 +868,22 @@ class Crawler:
         import copy
 
         self._ckpt_flush()
+        if self.cfg.frontier_refs:
+            # frontier/deferred/visit are object-store refs: a Ray task
+            # concatenates + writes them WORKER-side (the checkpoint dir
+            # is per-node local here, shared storage on a real cluster);
+            # the driver thread only awaits the task and stamps the
+            # manifest after the data lands
+            visit_refs = self._visit_new_refs
+            self._visit_new_refs = []
+            self._ckpt_future = self._ckpt_pool.submit(
+                self._write_checkpoint_refs, ckpt, self.round,
+                list(self._frontier_refs), list(self._deferred_refs),
+                visit_refs, extra, copy.deepcopy(manifest), self.docs_dir)
+            return
+        visit = (pa.concat_tables(self._visit_new)
+                 if self._visit_new else _empty_frontier())
+        self._visit_new = []
         self._ckpt_future = self._ckpt_pool.submit(
             self._write_checkpoint, ckpt, self.round, self._frontier,
             self._deferred, visit, extra, copy.deepcopy(manifest),
@@ -737,6 +913,29 @@ class Crawler:
             json.dump(manifest, f)
         os.replace(tmp, os.path.join(rdir, "manifest.json"))
 
+    def _write_checkpoint_refs(self, ckpt, round_no, frontier_refs,
+                               deferred_refs, visit_refs, extra,
+                               manifest, docs_dir) -> None:
+        """Refs-mode checkpoint: the parquet writes happen in a Ray task
+        (frontier/deferred/visit never touch the driver); the manifest is
+        stamped here AFTER the data lands — same crash contract as the
+        table-mode writer (a round dir without manifest.json is
+        incomplete)."""
+        rdir = os.path.join(ckpt, f"round-{round_no:05d}")
+        os.makedirs(rdir, exist_ok=True)
+        ray.get(_ckpt_write_refs_task.remote(
+            rdir, frontier_refs, deferred_refs, visit_refs, extra))
+        docs_parts = []
+        if docs_dir and os.path.isdir(docs_dir):
+            prefix = f"round-{round_no:05d}-"
+            docs_parts = sorted(
+                f for f in os.listdir(docs_dir) if f.startswith(prefix))
+        manifest["docs_parts"] = docs_parts
+        tmp = os.path.join(rdir, "manifest.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, os.path.join(rdir, "manifest.json"))
+
     def _ckpt_flush(self) -> None:
         """Join the in-flight checkpoint write (raises its error, if any)."""
         fut = getattr(self, "_ckpt_future", None)
@@ -747,22 +946,36 @@ class Crawler:
     # -- run / resume ------------------------------------------------------
     def run(self, seeds: list[str], max_rounds: int | None = None) -> CrawlResult:
         self.push_seeds(seeds)
-        self._visit_parts.append(self._frontier)
-        self._visit_new.append(self._frontier)
+        if self.cfg.frontier_refs:
+            self._visit_refs.extend(self._frontier_refs)
+            self._visit_new_refs.extend(self._frontier_refs)
+        else:
+            self._visit_parts.append(self._frontier)
+            self._visit_new.append(self._frontier)
         return self._loop(max_rounds)
 
     def _loop(self, max_rounds: int | None = None) -> CrawlResult:
         limit = max_rounds if max_rounds is not None else self.cfg.max_rounds
         t0 = time.time()
         rounds_done = 0
-        while (self._frontier.num_rows or self._deferred.num_rows) \
+        while (self._frontier_rows() or self._deferred_rows()) \
                 and rounds_done < limit:
             self._run_round()
             rounds_done += 1
         self._ckpt_flush()       # join the overlapped final checkpoint
         elapsed = time.time() - t0
-        visit = (pa.concat_tables(self._visit_parts)
-                 if self._visit_parts else _empty_frontier())
+        if self.cfg.frontier_refs:
+            # presentation only: the visit log lived in the object store
+            # all run; materialize + seq-sort it for the result table (at
+            # true scale read the checkpoint delta chain instead)
+            parts = [t for t in ray.get(list(self._visit_refs))
+                     if t.num_rows]
+            visit = (pa.concat_tables(parts, promote_options="default")
+                     .sort_by([("seq", "ascending")])
+                     if parts else _empty_frontier())
+        else:
+            visit = (pa.concat_tables(self._visit_parts)
+                     if self._visit_parts else _empty_frontier())
         urls_processed = int(visit.num_rows)
         self.metrics["elapsed_sec"] = round(elapsed, 4)
         self.metrics["urls_per_sec"] = round(urls_processed / elapsed, 2) \
@@ -828,6 +1041,32 @@ class Crawler:
         self.round = manifest["round"] + 1
         self._frontier = pq.read_table(os.path.join(rdir, "frontier.parquet"))
         self._deferred = pq.read_table(os.path.join(rdir, "deferred.parquet"))
+        # a refs-mode checkpoint stores the frontier WITHOUT the
+        # (transiently stamped) priority column; restore it for table mode
+        for col in ("_frontier", "_deferred"):
+            t = getattr(self, col)
+            if "priority" not in t.column_names:
+                t = t.append_column("priority", pa.array(
+                    np.zeros(t.num_rows, dtype=np.int32)))
+                setattr(self, col, t)
+        self._frontier_refs, self._frontier_count = [], 0
+        self._deferred_refs, self._deferred_count = [], 0
+        self._visit_refs, self._visit_new_refs = [], []
+        if cfg.frontier_refs:
+            # hand the restored rows straight back to the object store:
+            # frontier refs travel WITHOUT priority (the round stamps it
+            # per batch), deferred refs WITH it (they bypass the stamp)
+            step = max(cfg.batch_size, 2048)
+            for col, rattr, cattr, keep_prio in (
+                    ("_frontier", "_frontier_refs", "_frontier_count", False),
+                    ("_deferred", "_deferred_refs", "_deferred_count", True)):
+                t = getattr(self, col)
+                if not keep_prio:
+                    t = t.drop_columns(["priority"])
+                setattr(self, rattr, [ray.put(t.slice(i, step))
+                                      for i in range(0, t.num_rows, step)])
+                setattr(self, cattr, t.num_rows)
+                setattr(self, col, _empty_frontier())
         # visit log = concat of the complete rounds' DELTA files (each
         # checkpoint writes only what the round added)
         visit_parts = []
@@ -851,7 +1090,14 @@ class Crawler:
             t = pq.read_table(ep)
             if t.num_rows:
                 extra_parts.append(t)
-        self._visit_parts = visit_parts
+        if cfg.frontier_refs:
+            # the restored visit log goes straight back to the object
+            # store; already-checkpointed deltas are NOT re-queued for
+            # the next checkpoint write (visit_new stays empty)
+            self._visit_parts = []
+            self._visit_refs = [ray.put(t) for t in visit_parts]
+        else:
+            self._visit_parts = visit_parts
         self._visit_new = []
         self._seen_extra_new = []
         self.metrics = dict(manifest["metrics"])

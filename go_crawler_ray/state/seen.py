@@ -163,6 +163,24 @@ class _SeenShardImpl:
             refused = acc.filter(pa.array(~keep)).select(["url", "host"])
         return {"kept": kept, "refused": refused}
 
+    def finalize_round_refs(self, keep: np.ndarray, seqs: np.ndarray,
+                            step: int = 8192) -> dict:
+        """:meth:`finalize_round`, except the kept frontier rows NEVER
+        travel to the driver: the shard puts ~``step``-row slices into
+        the object store and returns only the refs + row count (plus the
+        refused rows, which are budget-bounded small). The refs-mode
+        crawl round consumes them via ``ray.data.from_arrow_refs`` —
+        this is the 10^10-frontier accept path where the driver holds
+        O(shards x blocks) refs, not O(frontier) rows."""
+        got = self.finalize_round(keep, seqs)
+        kept, refused = got["kept"], got["refused"]
+        if kept is None or kept.num_rows == 0:
+            return {"kept_refs": [], "n_kept": 0, "refused": refused}
+        refs = [ray.put(kept.slice(i, step))
+                for i in range(0, kept.num_rows, step)]
+        return {"kept_refs": refs, "n_kept": kept.num_rows,
+                "refused": refused}
+
     def check_and_insert(self, urls) -> np.ndarray:
         """For each url IN ORDER: True if newly inserted (never seen),
         False if already seen. First occurrence within the list wins.
@@ -328,6 +346,21 @@ class ShardedSeenSet:
         refused = [g["refused"] for g in got if g["refused"] is not None
                    and g["refused"].num_rows]
         return kept, refused
+
+    def finalize_round_all_refs(self, keeps: list[np.ndarray],
+                                seqs: list[np.ndarray],
+                                step: int = 8192) -> tuple[list, int, list]:
+        """Refs-mode budget cut: returns ([object refs to kept frontier
+        slices], total kept rows, [refused tables]). The kept rows stay
+        in the object store, owned by their shard actors."""
+        got = ray.get([
+            a.finalize_round_refs.remote(keeps[i], seqs[i], step)
+            for i, a in enumerate(self.actors)])
+        refs = [r for g in got for r in g["kept_refs"]]
+        n = sum(g["n_kept"] for g in got)
+        refused = [g["refused"] for g in got if g["refused"] is not None
+                   and g["refused"].num_rows]
+        return refs, n, refused
 
     def contains(self, urls: list[str], hosts: list[str]) -> np.ndarray:
         n = len(urls)

@@ -140,3 +140,62 @@ class TestPoliteness:
         with _pytest.raises(FileNotFoundError, match="corrupt"):
             Crawler.resume(t1_corpus, ck,
                            CrawlConfig(max_count=60, checkpoint_dir=ck))
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestFrontierRefs:
+    """Refs-mode (object-store-resident frontier) must be semantically
+    identical to table mode: same visit set + seq order, same seen set,
+    same metrics counts — the only difference is WHERE the rows live."""
+
+    def _run(self, corpus, refs: bool, tmp_path, sub: str, **kw):
+        cfg = CrawlConfig(snapshot_seen=True, max_count=60,
+                          checkpoint_dir=str(tmp_path / sub),
+                          frontier_refs=refs, **kw)
+        c = Crawler(corpus, cfg)
+        res = c.run([seed_url(0)])
+        c.shutdown()
+        return res
+
+    def test_refs_mode_bfs_identical(self, t1_corpus, tmp_path):
+        tab = self._run(t1_corpus, False, tmp_path, "tab")
+        ref = self._run(t1_corpus, True, tmp_path, "ref")
+        assert ref.visit_order.sort_by("seq").to_pydict() == \
+            tab.visit_order.sort_by("seq").to_pydict()
+        assert ref.seen == tab.seen
+        assert ref.pages_queued == tab.pages_queued
+        assert ref.rounds == tab.rounds
+        for k in ("pages_fetched", "assets_fetched", "candidates",
+                  "dedup_rejected", "budget_refused"):
+            assert ref.metrics[k] == tab.metrics[k], k
+
+    def test_refs_mode_politeness_identical(self, t1_corpus, tmp_path):
+        tab = self._run(t1_corpus, False, tmp_path, "ptab",
+                        politeness_max_per_host=3)
+        ref = self._run(t1_corpus, True, tmp_path, "pref",
+                        politeness_max_per_host=3)
+        assert ref.visit_order.sort_by("seq").to_pydict() == \
+            tab.visit_order.sort_by("seq").to_pydict()
+        assert ref.seen == tab.seen
+        assert ref.metrics["deferred_total"] == \
+            tab.metrics["deferred_total"]
+
+    def test_refs_mode_resume_identical(self, t1_corpus, tmp_path):
+        full = self._run(t1_corpus, True, tmp_path, "rfull")
+        ck = str(tmp_path / "rck")
+        c1 = Crawler(t1_corpus, CrawlConfig(
+            snapshot_seen=True, max_count=60, checkpoint_dir=ck,
+            frontier_refs=True))
+        c1.run([seed_url(0)], max_rounds=2)
+        c1.shutdown()
+        c2 = Crawler.resume(t1_corpus, ck, CrawlConfig(
+            snapshot_seen=True, max_count=60, frontier_refs=True))
+        res2 = c2._loop()
+        c2.shutdown()
+        # the resumed run finishes the crawl; union of the visit logs
+        # equals the uninterrupted run's
+        import pyarrow as pa
+        merged = pa.concat_tables(
+            [res2.visit_order]).sort_by("seq").to_pydict()
+        assert merged == full.visit_order.sort_by("seq").to_pydict()
+        assert res2.seen == full.seen
