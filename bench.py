@@ -129,6 +129,13 @@ def run_bench() -> dict:
     # SEEDED frontier (every corpus URL pushed at once: the steady-state
     # giant-round regime of a 10^10-URL frontier). Default: BFS discovery
     # crawl from one seed (the reference's own workload).
+    # per-query host probes: one bandwidth snapshot immediately BEFORE
+    # each timed query plus one after the last — a single pre-run probe
+    # cannot certify an ~80 s multi-query run on a host whose loud
+    # phases start mid-session (round-3 lesson), so every recorded
+    # number now carries the host state it ran under
+    probes: dict[str, float] = {}
+    probes["crawl_drain"] = host_probe()
     if os.environ.get("BENCH_MODE", "") == "drain":
         seeds = corpus.column("doc_id").to_pylist()
         t0 = time.time()
@@ -174,6 +181,7 @@ def run_bench() -> dict:
             ("dedup_embedding_clusters", _dedup.embedding_clusters),
             ("ann_brute_force_topk", _ann.brute_force_topk),
         ]:
+            probes[name] = host_probe()
             t0 = time.time()
             fn(sf_dir)
             queries[name] = round(time.time() - t0, 3)
@@ -189,6 +197,8 @@ def run_bench() -> dict:
         "urls": urls,
         "urls_per_sec": urls_per_sec,
         "host_probe_mb_s": probe,
+        "query_probes_mb_s": probes,
+        "host_probe_end_mb_s": host_probe(),
     }
     ray.shutdown()
     return out
