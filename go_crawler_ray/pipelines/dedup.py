@@ -722,6 +722,18 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5,
 # ---------------------------------------------------------------------------
 # exact duplicate-substring spans (token n-gram granularity)
 
+def _gram_weights(k: int, salt: int) -> np.ndarray:
+    """``k`` odd 64-bit position multipliers from a SplitMix-style LCG —
+    fixed per (k, salt), so every worker derives identical weights."""
+    m64 = (1 << 64) - 1
+    c = salt & m64
+    out = np.empty(k, dtype=np.uint64)
+    for j in range(k):
+        c = (c * 6364136223846793005 + 1442695040888963407) & m64
+        out[j] = c | 1
+    return out
+
+
 def duplicate_ngram_spans(sf_dir: str, k: int = 8) -> pd.DataFrame:
     """(doc_id, span_start, span_end, n_dup_grams): maximal token spans
     covered by duplicated ``k``-grams — exact substring-level dedup at
@@ -735,64 +747,99 @@ def duplicate_ngram_spans(sf_dir: str, k: int = 8) -> pd.DataFrame:
     touching duplicated-gram occurrences (next start <= prev start + k)
     merge into one maximal span [span_start, span_end).
 
-    Shape: ONE groupby(gram) all-to-all over the corpus's token-gram
-    rows (the canonical census shuffle) -> survivors >= 2 -> ONE
-    groupby(doc) whose island-merge is pure vectorized numpy. Grams
-    stay strings so the SQL oracle is value-exact; at 100 TB you'd
-    groupby a 128-bit gram hash instead (collision-safe in expectation)
-    and keep this as the verify kernel."""
+    Shape (round-4 rewrite of the round-3 string-gram census, which
+    shuffled ~k x corpus string bytes AND paid one Python map_groups
+    call per distinct gram):
+
+    1. per-batch VECTORIZED 128-bit gram hashing — tokens hashed once
+       with two polars xxhash seeds, gram hash = position-weighted
+       modular sum of the k token hashes (two independent 64-bit
+       functions; a false dup needs a simultaneous collision in both,
+       ~2^-128 per pair — the Lee-et-al.-style hashed census);
+    2. ONE groupby over a SALT BUCKET (hash mod P, P ~ blocks): each of
+       the P groups dup-marks its grams with one vectorized pandas
+       ``duplicated`` — the all-to-all carries 4 ints per gram and the
+       per-group Python overhead is O(P), not O(distinct grams);
+    3. survivors (only duplicated-gram occurrences) reshuffle once by
+       doc bucket for a vectorized multi-doc island merge.
+
+    Gram STRINGS never leave the batch that tokenized them; the SQL
+    oracle stays string-keyed, so hash-exact driver equality also
+    certifies the no-collision assumption at test scale."""
+    nblocks = _docs_blocks(sf_dir)
+    P = max(16, nblocks)
+    w1 = _gram_weights(k, 0x243F6A8885A308D3)
+    w2 = _gram_weights(k, 0x13198A2E03707344)
 
     def gram_rows(batch: pd.DataFrame) -> pd.DataFrame:
-        grams: list[str] = []
-        ids: list[int] = []
-        pos: list[int] = []
-        for d, t in zip(batch["doc_id"], batch["text"]):
-            toks = _WS.split(t.strip())
-            n = len(toks)
-            for i in range(n - k + 1):
-                grams.append(" ".join(toks[i:i + k]))
-                ids.append(int(d))
-                pos.append(i)
-        return pd.DataFrame({"gram": grams,
-                             "doc_id": np.array(ids, dtype="int64"),
-                             "pos": np.array(pos, dtype="int64")})
+        import polars as pl
 
-    def dup_occurrences(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"doc_id": np.array([], dtype="int64"),
-                                 "pos": np.array([], dtype="int64")})
-        return g[["doc_id", "pos"]]
-
-    def merge_spans(g: pd.DataFrame) -> pd.DataFrame:
-        pos = np.sort(g["pos"].to_numpy())
-        brk = np.empty(len(pos), dtype=bool)
-        brk[0] = True
-        brk[1:] = np.diff(pos) > k          # gap: spans neither overlap nor touch
-        island = np.cumsum(brk) - 1
-        starts = pos[brk]
-        df = pd.DataFrame({"island": island, "pos": pos})
-        agg = df.groupby("island", sort=True)["pos"].agg(["max", "size"])
+        tok_lists = [_WS.split(t.strip()) for t in batch["text"]]
+        lens = np.array([len(t) for t in tok_lists], dtype=np.int64)
+        m = np.maximum(lens - k + 1, 0)
+        total = int(m.sum())
+        if total == 0:
+            return pd.DataFrame({"g1": pd.Series(dtype="int64"),
+                                 "g2": pd.Series(dtype="int64"),
+                                 "doc_id": pd.Series(dtype="int64"),
+                                 "pos": pd.Series(dtype="int64"),
+                                 "bkt": pd.Series(dtype="int64")})
+        flat = [w for toks in tok_lists for w in toks]
+        s = pl.Series(flat)
+        th1 = s.hash(seed=1).to_numpy().astype(np.uint64)
+        th2 = s.hash(seed=2).to_numpy().astype(np.uint64)
+        off = np.cumsum(lens) - lens
+        doc_idx = np.repeat(np.arange(len(lens)), m)
+        pos = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(m) - m, m)
+        fstart = off[doc_idx] + pos
+        g1 = np.zeros(total, dtype=np.uint64)
+        g2 = np.zeros(total, dtype=np.uint64)
+        for j in range(k):
+            g1 += th1[fstart + j] * w1[j]
+            g2 += th2[fstart + j] * w2[j]
         return pd.DataFrame({
-            "doc_id": np.full(len(starts), int(g["doc_id"].iloc[0]),
-                              dtype="int64"),
-            "span_start": starts.astype("int64"),
-            "span_end": (agg["max"].to_numpy() + k).astype("int64"),
-            "n_dup_grams": agg["size"].to_numpy().astype("int64"),
+            "g1": g1.view(np.int64),
+            "g2": g2.view(np.int64),
+            "doc_id": batch["doc_id"].to_numpy()[doc_idx].astype("int64"),
+            "pos": pos,
+            "bkt": (g1 % np.uint64(P)).astype("int64"),
         })
 
-    out = (_read_docs(sf_dir, ["doc_id", "text"], _docs_blocks(sf_dir))
+    def bucket_dups(g: pd.DataFrame) -> pd.DataFrame:
+        occ = g.loc[g.duplicated(["g1", "g2"], keep=False),
+                    ["doc_id", "pos"]]
+        return occ.assign(dbkt=(occ["doc_id"] % P).astype("int64"))
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "pos"])
+        d = g["doc_id"].to_numpy()
+        p = g["pos"].to_numpy()
+        brk = np.ones(len(p), dtype=bool)
+        if len(p) > 1:
+            brk[1:] = (d[1:] != d[:-1]) | (np.diff(p) > k)
+        idx = np.flatnonzero(brk)
+        return pd.DataFrame({
+            "doc_id": d[brk].astype("int64"),
+            "span_start": p[brk].astype("int64"),
+            "span_end": (np.maximum.reduceat(p, idx) + k).astype("int64"),
+            "n_dup_grams": np.diff(np.append(idx, len(p))).astype("int64"),
+        })
+
+    out = (_read_docs(sf_dir, ["doc_id", "text"], nblocks)
            .map_batches(gram_rows, batch_format="pandas")
-           .groupby("gram")
-           .map_groups(dup_occurrences, batch_format="pandas")
-           .groupby("doc_id")
-           .map_groups(merge_spans, batch_format="pandas")
+           .groupby("bkt")
+           .map_groups(bucket_dups, batch_format="pandas")
+           .groupby("dbkt")
+           .map_groups(merge_bucket, batch_format="pandas")
            .to_pandas())
     if out.empty:
         return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
                              "span_start": pd.Series(dtype="int64"),
                              "span_end": pd.Series(dtype="int64"),
                              "n_dup_grams": pd.Series(dtype="int64")})
-    return (out.astype({c: "int64" for c in out.columns})
+    return (out[["doc_id", "span_start", "span_end", "n_dup_grams"]]
+            .astype("int64")
             .sort_values(["doc_id", "span_start"]).reset_index(drop=True))
 
 
