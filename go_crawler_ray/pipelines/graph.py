@@ -130,6 +130,45 @@ def _edges_ds(corpus: str, broadcast: bool = True) -> rd.Dataset:
             .map_groups(member_distinct, batch_format="pandas"))
 
 
+def _sorted_node_ids(corpus: str) -> list[str]:
+    """Every corpus page URL, lexicographically sorted — so the integer
+    index order IS the URL order and an integer MIN is a URL MIN."""
+    import pyarrow.parquet as _pq
+
+    ids = _pq.read_table(corpus, columns=["doc_id"]) \
+        .column("doc_id").to_pylist()
+    ids.sort()
+    return ids
+
+
+def _encode_edges(corpus: str, ids: list[str]) -> rd.Dataset:
+    """(s, t) integer-encoded DISTINCT edge dataset against the sorted
+    node index. The index rides the object store once (plasma-local per
+    worker after the first batch); at 10^10 nodes the lookup becomes
+    the hash-partitioned shard probe (``pagerank(sharded=True)``)."""
+    idx_ref = ray.put({u: i for i, u in enumerate(ids)})
+
+    def encode(batch: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(idx_ref)            # plasma-local after first call
+        return pd.DataFrame({
+            "s": batch["src"].map(m).to_numpy(dtype="int64"),
+            "t": batch["dst"].map(m).to_numpy(dtype="int64"),
+        })
+
+    return (_edges_ds(corpus)
+            .map_batches(encode, batch_format="pandas").materialize())
+
+
+def _edge_block_refs(enc: rd.Dataset) -> list:
+    """Non-empty encoded-edge blocks as plain object refs (zero-copy
+    task inputs for the per-sweep block tasks)."""
+    from ..pipelines.crawl import _arrow_block_and_count
+
+    pairs = [_arrow_block_and_count.remote(r) for r in enc.to_arrow_refs()]
+    counts = ray.get([p[1] for p in pairs])
+    return [p[0] for p, c in zip(pairs, counts) if c]
+
+
 @ray.remote
 def _pr_contrib(enc: pa.Table, r_over_deg: np.ndarray) -> np.ndarray:
     """One edge block's dense contribution vector: for every (s, t) edge
@@ -172,24 +211,11 @@ def pagerank(sf_dir: str, d: float = 0.85, iters: int = 5) -> pd.DataFrame:
     structure is unchanged. The node index build is O(nodes) driver
     metadata here; at scale it is a hash-partitioned lookup (the
     PartitionedCorpusBackend idiom)."""
-    import pyarrow.parquet as _pq
-
     corpus = corpus_parquet(sf_dir)
-    ids = _pq.read_table(corpus, columns=["doc_id"]) \
-        .column("doc_id").to_pylist()
+    ids = _sorted_node_ids(corpus)
     n_nodes = len(ids)
     N = float(n_nodes)
-    idx_ref = ray.put({u: i for i, u in enumerate(ids)})
-
-    def encode(batch: pd.DataFrame) -> pd.DataFrame:
-        m = ray.get(idx_ref)            # plasma-local after first call
-        return pd.DataFrame({
-            "s": batch["src"].map(m).to_numpy(dtype="int64"),
-            "t": batch["dst"].map(m).to_numpy(dtype="int64"),
-        })
-
-    enc = (_edges_ds(corpus)
-           .map_batches(encode, batch_format="pandas").materialize())
+    enc = _encode_edges(corpus, ids)
 
     # per-block dense outdegree partials -> driver sum (the same
     # fixed-size mergeable-sketch reduce as revenue_percentiles)
@@ -203,11 +229,7 @@ def pagerank(sf_dir: str, d: float = 0.85, iters: int = 5) -> pd.DataFrame:
         for arr in hb["h"]:
             deg += np.asarray(arr, dtype="int64")
 
-    from ..pipelines.crawl import _arrow_block_and_count
-
-    pairs = [_arrow_block_and_count.remote(r) for r in enc.to_arrow_refs()]
-    counts = ray.get([p[1] for p in pairs])
-    erefs = [p[0] for p, c in zip(pairs, counts) if c]
+    erefs = _edge_block_refs(enc)
 
     dangling = deg == 0
     inv = np.zeros(n_nodes, dtype="float64")
@@ -267,11 +289,77 @@ edges AS (SELECT DISTINCT c.src, c.dst
           FROM cand c JOIN nodes n ON n.node = c.dst)"""
 
 
-def components(sf_dir: str, max_rounds: int = 64) -> pd.DataFrame:
+@ray.remote
+def _cc_partial(enc: pa.Table, lab: np.ndarray) -> np.ndarray:
+    """One edge block's min-label sweep: for every (s, t) edge fold
+    min(lab[s], lab[t]) into both endpoints of a dense label copy. Block
+    and label refs resolve plasma-local; only the n_nodes int64 partial
+    returns."""
+    s = enc.column("s").to_numpy(zero_copy_only=False)
+    t = enc.column("t").to_numpy(zero_copy_only=False)
+    e = np.minimum(lab[s], lab[t])
+    acc = lab.copy()
+    np.minimum.at(acc, s, e)
+    np.minimum.at(acc, t, e)
+    return acc
+
+
+def components(sf_dir: str, max_rounds: int = 64,
+               algorithm: str = "dense") -> pd.DataFrame:
     """(node, component): undirected connected components of the corpus
     link graph; component = lexicographic min URL in the component.
 
-    Distributed shape (the string-keyed sibling of
+    ``algorithm="dense"`` (default) is the round-4 rewrite after the
+    measured many-groups-per-block all-to-all pathology (BASELINE.md):
+    the same block-partitioned dense treatment as pagerank's matvec.
+    Nodes are integer-encoded against the SORTED node index (integer
+    min == URL min); each round launches one task per encoded edge
+    block doing a vectorized ``np.minimum.at`` min-label sweep
+    (:func:`_cc_partial`) — NO per-round shuffle and no adjacency state
+    anywhere; the driver folds the ~blocks dense partials, applies full
+    pointer-jumping compression (L <- L[L] to fixpoint, driver-cheap on
+    the dense vector), and re-broadcasts. Convergence = a round that
+    changes nothing; min-label + compression converges in O(log
+    diameter) rounds. At 10^10 nodes the dense vector shards by node
+    range exactly like pagerank's sharded accumulator (the label fold
+    and compression become per-range tasks over label-shard refs); the
+    block-task structure is unchanged.
+
+    ``algorithm="htm"`` keeps the round-3 Hash-to-Min formulation
+    (Rastogi et al. 2012) as the shuffle-based equivalence path — one
+    groupby("node") per round over adjacency state — pinned equal to
+    the dense path by tests (TestComponents)."""
+    corpus = corpus_parquet(sf_dir)
+    if algorithm == "htm":
+        return _components_htm(corpus, max_rounds)
+    ids = _sorted_node_ids(corpus)
+    ids_arr = np.array(ids, dtype=object)
+    erefs = _edge_block_refs(_encode_edges(corpus, ids))
+    L = np.arange(len(ids), dtype="int64")
+    for _ in range(max_rounds):
+        if not erefs:
+            break
+        lab_ref = ray.put(L)
+        parts = ray.get([_cc_partial.remote(e, lab_ref) for e in erefs])
+        Lnew = L
+        for p in parts:
+            Lnew = np.minimum(Lnew, p)
+        while True:                     # full path compression
+            L2 = Lnew[Lnew]
+            if np.array_equal(L2, Lnew):
+                break
+            Lnew = L2
+        if np.array_equal(Lnew, L):
+            break
+        L = Lnew
+    else:
+        raise RuntimeError(f"components: no fixpoint after {max_rounds} "
+                           "rounds")
+    return pd.DataFrame({"node": ids_arr, "component": ids_arr[L]})
+
+
+def _components_htm(corpus: str, max_rounds: int = 64) -> pd.DataFrame:
+    """Hash-to-Min components (the string-keyed sibling of
     pipelines/dedup._min_label_components): the adjacency state starts
     as C(v) = N(v) ∪ {v} from the edge dataset; each Hash-to-Min round
     is ONE groupby("node") shuffle (per node emit (min, c) and (c, min)
@@ -280,7 +368,6 @@ def components(sf_dir: str, max_rounds: int = 64) -> pd.DataFrame:
     enter the shuffle — the final pass assigns them their own URL via
     the broadcast label map over a streaming doc_id read, so the state
     carries only edge-touched nodes (the near-dup-cluster discipline)."""
-    corpus = corpus_parquet(sf_dir)
     edges = _edges_ds(corpus).materialize()
 
     def init_state(batch: pd.DataFrame) -> pd.DataFrame:

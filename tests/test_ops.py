@@ -1078,6 +1078,18 @@ class TestComponents:
         e = duckdb.sql(edges_sql).df()
         assert all(lab[a] == lab[b] for a, b in zip(e["src"], e["dst"]))
 
+    def test_dense_equals_hash_to_min(self):
+        """The dense block-task min-label path (default) and the
+        shuffle-based Hash-to-Min path produce identical labelings."""
+        import pandas as pd
+
+        from go_crawler_ray.pipelines import graph
+
+        sf = "/root/testdata/sf0.001"
+        dense = graph.components(sf).reset_index(drop=True)
+        htm = graph.components(sf, algorithm="htm").reset_index(drop=True)
+        pd.testing.assert_frame_equal(dense, htm)
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestModelAndTemperature:
