@@ -182,7 +182,225 @@ def _pr_contrib(enc: pa.Table, r_over_deg: np.ndarray) -> np.ndarray:
     return c
 
 
-def pagerank(sf_dir: str, d: float = 0.85, iters: int = 5) -> pd.DataFrame:
+# --- sharded-state pagerank (the 10^10-node mode, behind a flag) ---
+
+@ray.remote(num_cpus=0)
+def _idx_block(tbl: pa.Table, offset: int) -> pa.Table:
+    """Contiguous global ids for one globally-sorted id block."""
+    return pa.table({
+        "url": pc.cast(tbl.column("doc_id"), pa.string()),
+        "idx": pa.array(offset + np.arange(tbl.num_rows), pa.int64()),
+    })
+
+
+@ray.remote
+def _route_index(tbl: pa.Table, S: int) -> list:
+    """One index block split into S hash shards (crc32(url) % S)."""
+    from ..functions.hashing import crc32_many
+
+    h = crc32_many(tbl.column("url")) % np.uint32(S)
+    return [tbl.filter(pa.array(h == s)) for s in range(S)]
+
+
+@ray.remote
+def _build_shard(*pieces: pa.Table) -> tuple:
+    """One hash shard of the node index: (sorted url array, idx array)
+    — a binary-searchable probe table living in the object store."""
+    t = pa.concat_tables(pieces)
+    urls = np.asarray(t.column("url").to_pylist(), dtype=object)
+    idx = t.column("idx").to_numpy(zero_copy_only=False)
+    order = np.argsort(urls)
+    return urls[order], idx[order].astype("int64")
+
+
+class _ShardEncode:
+    """Actor-pool edge encoder: probes the hash-partitioned node index
+    (the PartitionedCorpusBackend idiom). Shards resolve plasma-local
+    ONCE per actor in __init__ — never rebuilt per batch, never a
+    driver-side dict."""
+
+    def __init__(self, shard_refs: list, S: int):
+        self._shards = ray.get(list(shard_refs))
+        self._S = S
+
+    def _lookup(self, urls: np.ndarray) -> np.ndarray:
+        from ..functions.hashing import crc32_many
+
+        h = crc32_many(pa.array(urls.astype(str), pa.string())) \
+            % np.uint32(self._S)
+        res = np.empty(len(urls), dtype="int64")
+        for s in range(self._S):
+            m = h == s
+            if m.any():
+                su, si = self._shards[s]
+                res[m] = si[np.searchsorted(su, urls[m])]
+        return res
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "s": self._lookup(batch["src"].to_numpy(dtype=object)),
+            "t": self._lookup(batch["dst"].to_numpy(dtype=object)),
+        })
+
+
+@ray.remote
+def _grid_split(tbl: pa.Table, rsize: int, R: int) -> list:
+    """One encoded edge block cut into the R x R (s-range, t-range)
+    grid."""
+    s = tbl.column("s").to_numpy(zero_copy_only=False)
+    t = tbl.column("t").to_numpy(zero_copy_only=False)
+    cell = (s // rsize) * R + (t // rsize)
+    return [pa.table({"s": pa.array(s[cell == c], pa.int64()),
+                      "t": pa.array(t[cell == c], pa.int64())})
+            for c in range(R * R)]
+
+
+@ray.remote(num_cpus=0)
+def _concat_cells(*pieces: pa.Table) -> pa.Table:
+    return pa.concat_tables(pieces)
+
+
+@ray.remote
+def _deg_shard(lo: int, size: int, *cells: pa.Table) -> np.ndarray:
+    """Out-degree for one s-range from its grid row."""
+    dg = np.zeros(size, dtype="int64")
+    for c in cells:
+        if c.num_rows:
+            dg += np.bincount(c.column("s").to_numpy(zero_copy_only=False)
+                              - lo, minlength=size)
+    return dg
+
+
+@ray.remote(num_cpus=0)
+def _rank_init(size: int, N: float) -> np.ndarray:
+    return np.full(size, 1.0 / N, dtype="float64")
+
+
+@ray.remote(num_cpus=0)
+def _rv_shard(rank: np.ndarray, deg: np.ndarray) -> np.ndarray:
+    inv = np.zeros(len(deg), dtype="float64")
+    nz = deg > 0
+    inv[nz] = 1.0 / deg[nz]
+    return rank * inv
+
+
+@ray.remote(num_cpus=0)
+def _dang_partial(rank: np.ndarray, deg: np.ndarray) -> float:
+    return float(rank[deg == 0].sum())
+
+
+@ray.remote
+def _cell_contrib(cell: pa.Table, rv_i: np.ndarray, lo_i: int,
+                  lo_j: int, size_j: int) -> np.ndarray:
+    """Grid cell (i, j)'s dense contribution into t-range j, reading
+    ONLY rank shard i."""
+    c = np.zeros(size_j, dtype="float64")
+    if cell.num_rows:
+        s = cell.column("s").to_numpy(zero_copy_only=False)
+        t = cell.column("t").to_numpy(zero_copy_only=False)
+        np.add.at(c, t - lo_j, rv_i[s - lo_i])
+    return c
+
+
+@ray.remote(num_cpus=0)
+def _rank_update(d: float, N: float, D: float,
+                 *parts: np.ndarray) -> np.ndarray:
+    return (1.0 - d) / N + d * (np.sum(parts, axis=0) + D / N)
+
+
+def _pagerank_sharded(corpus: str, d: float, iters: int,
+                      n_shards: int = 8, n_ranges: int = 4) -> pd.DataFrame:
+    """PageRank with NO node-keyed state on the driver (the 10^10-node
+    mode; ``pagerank(sharded=True)``):
+
+    - node index: distributed sort of doc_id -> contiguous ids per
+      block (driver holds O(blocks) counts) -> crc32-hash-partitioned
+      probe shards in the object store; edges encode in an actor pool
+      that binary-searches the shards (:class:`_ShardEncode`);
+    - edge derivation: the reduce-side groupby(dst) semi-join
+      (``_edges_ds(broadcast=False)``) — no corpus-wide membership
+      broadcast either;
+    - iteration state: deg / rank / rank-over-deg live as R
+      range-shards in the object store; edges are grid-partitioned
+      into R x R (s-range, t-range) cells once; each sweep runs one
+      task per non-empty cell reading exactly one rank shard and
+      emitting one t-range partial; per-range update tasks fold the
+      partials. The driver touches refs and the dangling-mass scalars
+      only.
+
+    The dense mode remains the default below ~10^8 nodes: same
+    arithmetic, fewer moving parts (equality pinned by
+    TestShardedPagerank at the rounded 6-place contract)."""
+    ids_ds = (rd.read_parquet(corpus, columns=["doc_id"])
+              .sort("doc_id").materialize())
+    from ..pipelines.crawl import _arrow_block_and_count
+
+    blk = [_arrow_block_and_count.remote(r) for r in ids_ds.to_arrow_refs()]
+    counts = ray.get([b[1] for b in blk])
+    offsets = np.cumsum([0] + counts[:-1])
+    n_nodes = int(sum(counts))
+    N = float(n_nodes)
+    S, R = n_shards, n_ranges
+    idx_blocks = [_idx_block.remote(b[0], int(o))
+                  for b, c, o in zip(blk, counts, offsets) if c]
+
+    routed = [_route_index.options(num_returns=S).remote(ib, S)
+              for ib in idx_blocks]
+    if S == 1:      # num_returns=1 unwraps the list
+        routed = [[r] for r in routed]
+    shard_refs = [_build_shard.remote(*[r[s] for r in routed])
+                  for s in range(S)]
+
+    from ..functions.pool import auto_pool
+
+    enc = (_edges_ds(corpus, broadcast=False)
+           .map_batches(_ShardEncode,
+                        fn_constructor_args=(shard_refs, S),
+                        batch_format="pandas",
+                        concurrency=auto_pool(0.5))
+           .materialize())
+
+    rsize = -(-n_nodes // R)
+    lo = [min(i * rsize, n_nodes) for i in range(R + 1)]
+    sizes = [lo[i + 1] - lo[i] for i in range(R)]
+
+    eb = [_arrow_block_and_count.remote(r) for r in enc.to_arrow_refs()]
+    ecounts = ray.get([b[1] for b in eb])
+    grids = [_grid_split.options(num_returns=R * R).remote(b[0], rsize, R)
+             for b, c in zip(eb, ecounts) if c]
+    if R == 1:
+        grids = [[g] for g in grids]
+    cells = [_concat_cells.remote(*[g[c] for g in grids])
+             if grids else _concat_cells.remote(pa.table(
+                 {"s": pa.array([], pa.int64()),
+                  "t": pa.array([], pa.int64())}))
+             for c in range(R * R)]
+
+    deg = [_deg_shard.remote(lo[i], sizes[i],
+                             *[cells[i * R + j] for j in range(R)])
+           for i in range(R)]
+    rank = [_rank_init.remote(sizes[i], N) for i in range(R)]
+
+    for _ in range(iters):
+        D = float(sum(ray.get(
+            [_dang_partial.remote(rank[i], deg[i]) for i in range(R)])))
+        rv = [_rv_shard.remote(rank[i], deg[i]) for i in range(R)]
+        parts = [[_cell_contrib.remote(cells[i * R + j], rv[i],
+                                       lo[i], lo[j], sizes[j])
+                  for i in range(R)] for j in range(R)]
+        rank = [_rank_update.remote(d, N, D, *parts[j]) for j in range(R)]
+
+    urls = np.concatenate([
+        np.asarray(t.column("url").to_pylist(), dtype=object)
+        for t in ray.get(idx_blocks)])
+    r = np.concatenate(ray.get(rank))
+    # the query CONTRACT returns a driver-side DataFrame — this final
+    # O(N) gather is the result itself, not iteration state
+    return pd.DataFrame({"node": urls, "rank": round_half_away(r, 6)})
+
+
+def pagerank(sf_dir: str, d: float = 0.85, iters: int = 5,
+             sharded: bool = False) -> pd.DataFrame:
     """(node, rank): PageRank of every corpus page after ``iters``
     synchronous sweeps; rank rounded half-away to 6 places (values sit
     near 1/N — 4 places would quantize them together).
@@ -205,13 +423,16 @@ def pagerank(sf_dir: str, d: float = 0.85, iters: int = 5) -> pd.DataFrame:
        (n_nodes x 8 B each), folds the dangling mass scalar, and
        re-broadcasts the new rank vector via ``ray.put``.
 
-    At 10^10 nodes the dense accumulator no longer fits one task:
-    range-partition dst (each task emits only its dst-range slice) and
-    keep the rank vector sharded in the object store — the block-task
-    structure is unchanged. The node index build is O(nodes) driver
-    metadata here; at scale it is a hash-partitioned lookup (the
-    PartitionedCorpusBackend idiom)."""
+    At 10^10 nodes the dense accumulator no longer fits one task and
+    the node index no longer fits the driver: ``sharded=True`` switches
+    to :func:`_pagerank_sharded` — hash-partitioned index probe shards,
+    range-sharded deg/rank state in the object store, and an R x R
+    grid of per-cell contribution tasks — with no node-keyed driver
+    state at all (equality pinned at the rounded 6-place contract by
+    TestShardedPagerank)."""
     corpus = corpus_parquet(sf_dir)
+    if sharded:
+        return _pagerank_sharded(corpus, d, iters)
     ids = _sorted_node_ids(corpus)
     n_nodes = len(ids)
     N = float(n_nodes)

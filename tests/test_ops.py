@@ -1078,6 +1078,20 @@ class TestComponents:
         e = duckdb.sql(edges_sql).df()
         assert all(lab[a] == lab[b] for a, b in zip(e["src"], e["dst"]))
 
+    def test_sharded_pagerank_equals_dense(self):
+        """The sharded-state mode (hash-partitioned index probe, range-
+        sharded deg/rank, grid contribution tasks, zero node-keyed
+        driver state) reproduces the dense mode at the rounded 6-place
+        output contract."""
+        import pandas as pd
+
+        from go_crawler_ray.pipelines import graph
+
+        sf = "/root/testdata/sf0.001"
+        dense = graph.pagerank(sf).reset_index(drop=True)
+        sharded = graph.pagerank(sf, sharded=True).reset_index(drop=True)
+        pd.testing.assert_frame_equal(dense, sharded)
+
     def test_dense_equals_hash_to_min(self):
         """The dense block-task min-label path (default) and the
         shuffle-based Hash-to-Min path produce identical labelings."""
