@@ -131,27 +131,32 @@ class CrawlConfig:
     # and the round consumes them via ray.data.from_arrow_refs; visit
     # deltas and frontier checkpoints are written by Ray tasks
     # worker-side. The driver holds only refs + counts: this is the
-    # 10^10-frontier regime (VERDICT r2 #5). Semantics are identical to
-    # table mode (equivalence-tested); CrawlResult.visit_order is still
-    # materialized at the END for presentation — at true scale read the
-    # checkpoint delta chain instead. Incompatible with robots=True
-    # (the robots filter is a driver-side table pass).
-    frontier_refs: bool = False
+    # 10^10-frontier regime (VERDICT r2 #5) and the DEFAULT since round
+    # 4 (robots now evaluates worker-side in the fetch stage, so the
+    # scale mode supports the full feature set). Semantics are
+    # identical to table mode (equivalence-tested); CrawlResult.
+    # visit_order is still materialized at the END for presentation —
+    # at true scale read the checkpoint delta chain instead.
+    # frontier_refs=False keeps the driver-table mode (small crawls,
+    # and the equivalence baseline in tests).
+    frontier_refs: bool = True
 
 
 class _FetchFn:
     """Picklable wrapper: heavy backend comes from the per-worker cache."""
 
-    def __init__(self, corpus_ref, cfg: CrawlConfig):
+    def __init__(self, corpus_ref, cfg: CrawlConfig, robots_ref=None):
         self.corpus_ref = corpus_ref
         self.max_file_size = cfg.max_file_size
         self.retry_attempts = cfg.retry_attempts
         self.retry_delay = cfg.retry_delay
         self.transient_fail_rate = cfg.transient_fail_rate
         self.emit_content = cfg.parse_html
+        self.robots_ref = robots_ref    # {host: [prefix]} broadcast or None
 
     def _stage(self) -> FetchStage:
-        key = (self.corpus_ref.hex(), self.emit_content)
+        key = (self.corpus_ref.hex(), self.emit_content,
+               self.robots_ref.hex() if self.robots_ref is not None else "")
         st = _FETCH_CACHE.get(key)
         if st is None:
             st = FetchStage(
@@ -162,6 +167,8 @@ class _FetchFn:
                                          jitter_factor=0.0),
                 transient_fail_rate=self.transient_fail_rate,
                 emit_content=self.emit_content,
+                robots_rules=(ray.get(self.robots_ref)
+                              if self.robots_ref is not None else None),
             )
             _FETCH_CACHE[key] = st
         return st
@@ -312,9 +319,6 @@ class Crawler:
         hash-partitioned on-disk corpus (the 100 TB layout — workers load
         only the partitions their URLs hash into)."""
         self.cfg = config or CrawlConfig()
-        if self.cfg.frontier_refs and self.cfg.robots:
-            raise ValueError("frontier_refs mode does not support the "
-                             "robots filter (driver-side table pass)")
         from ..stages.fetch import CorpusSpec, build_corpus_index
 
         if isinstance(corpus, CorpusSpec):
@@ -331,10 +335,21 @@ class Crawler:
         self.seen = ShardedSeenSet(self.cfg.num_seen_shards,
                                    mode=self.cfg.seen_mode,
                                    salt_k=self.cfg.salt_k)
+        # robots: refs mode evaluates rules WORKER-side in the fetch
+        # stage (a small {host: [prefix]} broadcast — no frontier-sized
+        # driver pass); table mode keeps the RobotsCache actor pool
+        # (both paths equivalence-tested in TestFrontierRefs)
         self.robots: RobotsCache | None = None
+        self._robots_ref = None
         if self.cfg.robots:
-            self.robots = RobotsCache(num_shards=2)
-            self._preload_robots(corpus)
+            bodies = self._robots_bodies(corpus)
+            if self.cfg.frontier_refs:
+                self._robots_ref = ray.put(
+                    {h: parse_robots(b) for h, b in bodies.items()})
+            else:
+                self.robots = RobotsCache(num_shards=2)
+                for actor in self.robots.actors:
+                    ray.get(actor.preload.remote(bodies))
         self.next_seq = 0
         self.pages_queued = 0
         self.round = 0
@@ -376,9 +391,10 @@ class Crawler:
         self._ckpt_future = None
 
     # -- robots -----------------------------------------------------------
-    def _preload_robots(self, corpus: pa.Table) -> None:
-        """Scan the corpus once for robots.txt docs and preload the rule
-        cache (the real-web path would fetch lazily per host)."""
+    @staticmethod
+    def _robots_bodies(corpus: pa.Table) -> dict[str, str]:
+        """Scan the corpus once for robots.txt docs: {host: body} (the
+        real-web path would fetch lazily per host)."""
         ids = corpus.column("doc_id").to_pylist()
         bodies: dict[str, str] = {}
         for i, u in enumerate(ids):
@@ -386,8 +402,7 @@ class Crawler:
                 spans = corpus.column("spans")[i].as_py()
                 bodies[host_of(u)] = "".join(
                     s["text"] for s in spans if s["kind"] == "text")
-        for actor in self.robots.actors:
-            ray.get(actor.preload.remote(bodies))
+        return bodies
 
     # -- seed / push ------------------------------------------------------
     def push_seeds(self, seeds: list[str]) -> None:
@@ -726,7 +741,8 @@ class Crawler:
                 else:
                     ds = rd.from_arrow(current)
             ds = ds.map_batches(
-                _FetchFn(self.corpus_ref, cfg), batch_format="pyarrow",
+                _FetchFn(self.corpus_ref, cfg, robots_ref=self._robots_ref),
+                batch_format="pyarrow",
                 batch_size=batch_rows, concurrency=cfg.fetch_concurrency)
             ds = ds.map_batches(
                 _ParseFn(cfg.strict_rfc3986, cfg.parse_html),
@@ -806,6 +822,11 @@ class Crawler:
                 pc.and_(ok, pc.invert(is_pg))).as_py() or 0)
             self.metrics["skipped_download"] += int(pc.sum(pc.equal(
                 docs_round.column("skipped_on"), "download")).as_py() or 0)
+            if self._robots_ref is not None:
+                # refs mode: robots skips happened worker-side in fetch
+                # (table mode counted its driver pass above)
+                self.metrics["skipped_robots"] += int(pc.sum(pc.equal(
+                    docs_round.column("skipped_on"), "robots")).as_py() or 0)
             if not self.docs_dir:
                 rc = pa.array(np.full(docs_round.num_rows, self.round,
                                       dtype=np.int32))
@@ -1033,9 +1054,16 @@ class Crawler:
         self.seen = ShardedSeenSet(cfg.num_seen_shards, mode=cfg.seen_mode,
                                    salt_k=cfg.salt_k)
         self.robots = None
+        self._robots_ref = None
         if cfg.robots:
-            self.robots = RobotsCache(num_shards=2)
-            self._preload_robots(corpus)
+            bodies = cls._robots_bodies(corpus)
+            if cfg.frontier_refs:
+                self._robots_ref = ray.put(
+                    {h: parse_robots(b) for h, b in bodies.items()})
+            else:
+                self.robots = RobotsCache(num_shards=2)
+                for actor in self.robots.actors:
+                    ray.get(actor.preload.remote(bodies))
         self.next_seq = manifest["next_seq"]
         self.pages_queued = manifest["pages_queued"]
         self.round = manifest["round"] + 1

@@ -237,13 +237,22 @@ class FetchStage:
     def __init__(self, corpus, max_file_size: int | None = None,
                  retry_config: RetryConfig | None = None,
                  transient_fail_rate: float = 0.0,
-                 emit_content: bool = False):
+                 emit_content: bool = False,
+                 robots_rules: dict | None = None):
         """``emit_content``: additionally emit ``raw_content`` — the
         page's raw HTML bytes (rendered from its spans; a real-web
         backend would return the HTTP body here) — so the parse stage
         can run the REAL HTML extractor instead of reading corpus spans
         (CrawlConfig.parse_html mode, reference path internal/
-        models.go:112-126 over pkg/htmlparser/parser.go:20-98)."""
+        models.go:112-126 over pkg/htmlparser/parser.go:20-98).
+
+        ``robots_rules``: {host: [disallow path-prefixes]} — when set,
+        disallowed rows are never looked up: they come back
+        status="skipped", skipped_on="robots", empty spans, size 0
+        (the worker-side robots evaluation of the object-store-frontier
+        mode; rules are parsed once driver-side from the corpus's
+        robots.txt docs and broadcast — a real-web backend fetches and
+        caches them per host in this same per-actor state)."""
         import ray
 
         obj = ray.get(corpus) if isinstance(corpus, ray.ObjectRef) else corpus
@@ -261,7 +270,22 @@ class FetchStage:
             max_attempts=3, delay=0.0, jitter_factor=0.0)
         self.transient_fail_rate = transient_fail_rate
         self.emit_content = emit_content
+        self.robots_rules = robots_rules
         self._failed_once: set[str] = set()
+
+    def _robots_blocked(self, batch: pa.Table) -> np.ndarray:
+        """True where robots disallows the row's URL path (hosts with no
+        rules — the common case — short-circuit)."""
+        urls = batch.column("url").to_pylist()
+        hosts = batch.column("host").to_pylist()
+        out = np.zeros(len(urls), dtype=bool)
+        for i, (u, h) in enumerate(zip(urls, hosts)):
+            rules = self.robots_rules.get(h)
+            if not rules:
+                continue
+            path = "/" + u.split("/", 3)[3] if u.count("/") >= 3 else "/"
+            out[i] = any(path.startswith(p) for p in rules)
+        return out
 
     def _lookup_one(self, url: str) -> int:
         """Per-URL 'HTTP GET' with simulated first-attempt transient
@@ -298,16 +322,23 @@ class FetchStage:
             idx = self._lookup(urls)
             spans = self.backend.take_spans(idx)
             missing = idx < 0
+        blocked = (self._robots_blocked(batch)
+                   if self.robots_rules is not None
+                   else np.zeros(batch.num_rows, dtype=bool))
         sizes = spans_text_sizes(spans)
+        sizes[blocked] = 0              # robots rows were never fetched
         oversize = (np.zeros_like(missing) if self.max_file_size is None
                     else (sizes > self.max_file_size) & ~missing)
-        skipped = missing | oversize
+        skipped = missing | oversize | blocked
         # skipped rows carry empty spans (oracle parity: parse of empty
         # content succeeds with zero children, Go html.Parse on nil bytes)
         spans = pc.if_else(pa.array(skipped), EMPTY_SPANS, spans)
         spans = spans.fill_null(EMPTY_SPANS)
         status = pc.if_else(pa.array(skipped), pa.scalar("skipped"), pa.scalar("ok"))
         skipped_on = pc.if_else(pa.array(skipped), pa.scalar("download"), pa.scalar(""))
+        if blocked.any():
+            skipped_on = pc.if_else(pa.array(blocked), pa.scalar("robots"),
+                                    skipped_on)
         out = batch.append_column("spans", spans)
         out = out.append_column("content_size", pa.array(sizes))
         out = out.append_column("status", status)

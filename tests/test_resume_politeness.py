@@ -169,6 +169,19 @@ class TestFrontierRefs:
                   "dedup_rejected", "budget_refused"):
             assert ref.metrics[k] == tab.metrics[k], k
 
+    def test_refs_mode_robots_identical(self, t1_corpus, tmp_path):
+        """Refs mode evaluates robots worker-side in the fetch stage
+        (broadcast rules); table mode uses the driver-side actor-pool
+        pass. Same blocked set, same seen set, same metrics."""
+        tab = self._run(t1_corpus, False, tmp_path, "rbtab", robots=True)
+        ref = self._run(t1_corpus, True, tmp_path, "rbref", robots=True)
+        assert ref.visit_order.sort_by("seq").to_pydict() == \
+            tab.visit_order.sort_by("seq").to_pydict()
+        assert ref.seen == tab.seen
+        assert ref.metrics["skipped_robots"] == \
+            tab.metrics["skipped_robots"] > 0
+        assert ref.metrics["candidates"] == tab.metrics["candidates"]
+
     def test_refs_mode_politeness_identical(self, t1_corpus, tmp_path):
         tab = self._run(t1_corpus, False, tmp_path, "ptab",
                         politeness_max_per_host=3)
