@@ -217,18 +217,22 @@ def pack_sequences(sf_dir: str, seq_len: int = 256,
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
 
-    def counted(batch: pd.DataFrame) -> pd.DataFrame:
+    def counted(batch: pd.DataFrame) -> pa.Table:
         ids = batch["doc_id"].to_numpy().astype("int64")
         n = (batch["text"].str.strip().str.split(_WS)
              .str.len().to_numpy().astype("int64"))
-        return pd.DataFrame({"doc_id": ids, "n_tokens": n,
-                             "bucket": ids // rpb})
+        # Arrow output: the slim table re-enters two shuffles — no
+        # object-dtype round-trip on the wire (VERDICT r3 #7)
+        return pa.table({"doc_id": pa.array(ids),
+                         "n_tokens": pa.array(n),
+                         "bucket": pa.array(ids // rpb)})
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        return b.group_by("bucket").aggregate([("n_tokens", "sum")]) \
+            .rename_columns(["bucket", "n_tokens"])
 
     slim = ds.map_batches(counted, batch_format="pandas").materialize()
-    hist = (slim.map_batches(
-                lambda b: b.groupby("bucket", as_index=False)["n_tokens"]
-                           .sum(),
-                batch_format="pandas")
+    hist = (slim.map_batches(hist_partial, batch_format="pyarrow")
             .groupby("bucket").sum("n_tokens").to_pandas()
             .sort_values("bucket"))
     toks = hist["sum(n_tokens)"].to_numpy().astype("int64")
@@ -282,14 +286,14 @@ def epoch_shuffle(sf_dir: str, epoch: int = 0,
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id"])
 
-    def keyed(batch: pa.Table) -> pd.DataFrame:
+    def keyed(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False) \
                    .astype("int64")
         key = _epoch_keys(ids, epoch)
-        return pd.DataFrame({
-            "doc_id": ids,
-            "key": key.astype("int64"),
-            "bucket": (key >> np.uint32(shift)).astype("int64"),
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "key": pa.array(key.astype("int64")),
+            "bucket": pa.array((key >> np.uint32(shift)).astype("int64")),
         })
 
     keyed_ds = ds.map_batches(keyed, batch_format="pyarrow").materialize()
@@ -320,12 +324,14 @@ def _rank_keyed(keyed_ds: rd.Dataset, n_buckets: int) -> pd.DataFrame:
     (no single-node sort; the driver holds ``n_buckets`` ints)."""
     import ray
 
-    def partial_hist(batch: pd.DataFrame) -> pd.DataFrame:
-        h = np.bincount(batch["bucket"], minlength=n_buckets)
-        return pd.DataFrame({"bucket": np.arange(n_buckets, dtype="int64"),
-                             "n": h.astype("int64")})
+    def partial_hist(batch: pa.Table) -> pa.Table:
+        h = np.bincount(batch.column("bucket").to_numpy(zero_copy_only=False),
+                        minlength=n_buckets)
+        return pa.table({"bucket": pa.array(np.arange(n_buckets,
+                                                      dtype="int64")),
+                         "n": pa.array(h.astype("int64"))})
 
-    hist = (keyed_ds.map_batches(partial_hist, batch_format="pandas")
+    hist = (keyed_ds.map_batches(partial_hist, batch_format="pyarrow")
             .groupby("bucket").sum("n").to_pandas())
     counts = np.zeros(n_buckets, dtype="int64")
     counts[hist["bucket"].to_numpy()] = hist["sum(n)"].to_numpy()
