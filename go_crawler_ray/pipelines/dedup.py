@@ -28,10 +28,11 @@ The large-scale training-data dedup toolkit, Ray-Data-first:
 Every O(corpus) AND every O(pairs) stage runs distributed: signatures,
 banding and bucket pairs in map_batches/groupby; candidate pairs stay a
 distinct-pair groupby DATASET; exact-Jaccard verification point-reads
-candidates with a pushed-down filter per actor; connected components run
+each pair batch's own doc ids with a pushed-down filter (no task or
+actor ever holds the global candidate set); connected components run
 as Hash-to-Min min-label-propagation groupby rounds. The driver only
-ever holds candidate doc-id ints and final (node, label) tables — both
-O(LSH candidates), never O(corpus) or O(pairs).
+ever holds final (node, label) tables — O(LSH candidates), never
+O(corpus) or O(pairs).
 """
 
 from __future__ import annotations
@@ -71,20 +72,6 @@ def _docs_blocks(sf_dir: str, rows_per_block: int = 512) -> int:
 
     n = _pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
     return blocks_for(n, rows_per_block)
-
-
-def _pair_ids(pairs_ds: rd.Dataset) -> set[int]:
-    """Unique doc ids across an (a, b) pair dataset, deduped BLOCK-SIDE so
-    the driver receives O(unique ids) — never the O(pairs) tables."""
-
-    def block_ids(tbl: pa.Table) -> pd.DataFrame:
-        u = np.unique(np.concatenate([
-            tbl.column("a").to_numpy(zero_copy_only=False),
-            tbl.column("b").to_numpy(zero_copy_only=False)]))
-        return pd.DataFrame({"doc_id": u.astype("int64")})
-
-    return set(pairs_ds.map_batches(block_ids, batch_format="pyarrow")
-               .to_pandas()["doc_id"].astype(int))
 
 
 # ---------------------------------------------------------------------------
@@ -269,47 +256,46 @@ def _candidate_pairs_ds(ds: rd.Dataset, distinct: bool = True) -> rd.Dataset:
     return out
 
 
-@ray.remote
-def _shingle_map(sf_dir: str, need: np.ndarray, shingle_k: int,
-                 string_shingles: bool) -> dict:
-    """Point-read the candidate documents (pushed-down parquet filter)
-    and shingle each ONCE; the result is broadcast via the object store
-    so verify actors share one copy per node instead of each re-reading
-    and re-shingling the whole candidate set."""
-    import pyarrow.compute as pc
-    import pyarrow.parquet as pq
-
-    tbl = pq.read_table(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
-        filters=pc.field("doc_id").isin(need))
-    return {
-        int(d): (_string_shingles(t, shingle_k) if string_shingles
-                 else _shingles(t, shingle_k))
-        for d, t in zip(tbl.column("doc_id").to_pylist(),
-                        tbl.column("text").to_pylist())}
-
-
-def _verify_pairs_ds(pairs_ds: rd.Dataset, sf_dir: str, need_ids,
+def _verify_pairs_ds(pairs_ds: rd.Dataset, sf_dir: str,
                      threshold: float, shingle_k: int = 3,
                      string_shingles: bool = False) -> rd.Dataset:
     """Exact-Jaccard verification as a map_batches stage over the pair
-    dataset. The LSH-bounded candidate set is read + shingled ONCE in a
-    single task; verify actors fetch the result from the object store
-    (each actor still deserializes its own heap copy of the dict — the
-    refactor dedups the read+shingle CPU, not actor memory). Shingle
-    sets never touch the driver. At 100 TB the single shingle task and
-    the per-actor copies both stop scaling — there, partition pairs by
-    hash(a) and give each verify shard a point lookup into partitioned
-    corpus storage (stages/fetch.PartitionedCorpusBackend idiom)."""
-    sh_ref = _shingle_map.remote(
-        sf_dir, np.array(sorted(need_ids), dtype=np.int64),
-        shingle_k, string_shingles)
+    dataset. Each verify actor point-reads ONLY the doc ids its current
+    batch needs (pushed-down parquet ``isin`` filter — row-group stats
+    prune the scan) and shingles them locally, caching shingle sets
+    across batches. Round-4 rewrite of the former broadcast shape (one
+    task read+shingled the WHOLE candidate set, every actor then held a
+    full dict copy): now no single task and no single actor ever touches
+    more candidates than its own pair batches reference, so the stage
+    scales with pairs-per-actor, not with the global candidate count —
+    the partitioned point-lookup layout that works against partitioned
+    corpus storage at 100 TB. Shingle sets never touch the driver."""
 
     class VerifyJaccard:
         def __init__(self):
-            self.sh = ray.get(sh_ref)
+            self.sh: dict[int, set] = {}
+
+        def _ensure(self, ids: np.ndarray) -> None:
+            import pyarrow.compute as pc
+            import pyarrow.parquet as pq
+
+            missing = np.array([i for i in ids if i not in self.sh],
+                               dtype=np.int64)
+            if not len(missing):
+                return
+            tbl = pq.read_table(
+                f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+                filters=pc.field("doc_id").isin(missing))
+            for d, t in zip(tbl.column("doc_id").to_pylist(),
+                            tbl.column("text").to_pylist()):
+                self.sh[int(d)] = (
+                    _string_shingles(t, shingle_k) if string_shingles
+                    else _shingles(t, shingle_k))
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            self._ensure(np.unique(np.concatenate([
+                batch["a"].to_numpy().astype("int64"),
+                batch["b"].to_numpy().astype("int64")])))
             out_a, out_b, out_j = [], [], []
             for a, b in zip(batch["a"], batch["b"]):
                 sa, sb = self.sh[int(a)], self.sh[int(b)]
@@ -410,13 +396,13 @@ def minhash_clusters(sf_dir: str, threshold: float = 0.8,
     the component. Docs with no near-dup are their own cluster.
 
     Fully distributed: signatures + banding (map_batches), bucket pairs +
-    distinct (groupby — never a driver set), candidate shingling
-    (semi-join map_batches, blocks stay in the object store),
-    exact-Jaccard verify (map_batches over the pair dataset), connected
-    components (Hash-to-Min groupby rounds), final cluster assignment
-    (broadcast label map over a map_batches pass). The only values the
-    driver ever holds are the candidate doc-id ints and the final label
-    table — both O(LSH candidates), not O(corpus) or O(pairs)."""
+    distinct (groupby — never a driver set), exact-Jaccard verify
+    (map_batches over the pair dataset; each actor point-reads and
+    shingles only its own batches' doc ids), connected components
+    (Hash-to-Min groupby rounds), final cluster assignment (broadcast
+    label map over a map_batches pass). The only value the driver ever
+    holds is the final label table — O(LSH candidates), not O(corpus)
+    or O(pairs)."""
     ds = _read_docs(sf_dir, ["doc_id", "text"], _docs_blocks(sf_dir))
     band_ds = ds.map_batches(MinHashStage, batch_format="pandas",
                              concurrency=auto_pool(frac=0.25),
@@ -429,8 +415,7 @@ def minhash_clusters(sf_dir: str, threshold: float = 0.8,
 
     labels: dict[int, int] = {}
     if pairs_ds.count():
-        need = _pair_ids(pairs_ds)
-        verified = _verify_pairs_ds(pairs_ds, sf_dir, need,
+        verified = _verify_pairs_ds(pairs_ds, sf_dir,
                                     threshold).materialize()
         if verified.count():
             lab = _min_label_components(verified)
@@ -711,8 +696,7 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5,
         return empty
     pairs_ds = pairs_ds.repartition(
         int(np.clip(n_pairs // 100_000 + 2, 2, 32))).materialize()
-    need = _pair_ids(pairs_ds)
-    out = _verify_pairs_ds(pairs_ds, sf_dir, need, threshold, shingle_k,
+    out = _verify_pairs_ds(pairs_ds, sf_dir, threshold, shingle_k,
                            string_shingles=True).to_pandas()
     if out.empty:
         return empty
@@ -871,6 +855,22 @@ def _block_angular_stats(tbl: pa.Table) -> tuple:
     return c, float(ang.max())
 
 
+@ray.remote
+def _grid_prune_chunk(Cm: np.ndarray, Rv: np.ndarray, lo: int, hi: int,
+                      max_ang: float) -> tuple:
+    """Triangle-inequality pruning of block-pair grid rows [lo, hi):
+    angle(cI, cJ) - rI - rJ > arccos(threshold) proves block pair
+    (I, J) holds no qualifying vector pair. Returns the SURVIVING
+    upper-triangle (bi, bj) pairs of this row chunk; Cm/Rv resolve
+    plasma-local (broadcast once by the caller)."""
+    D = np.arccos(np.clip(Cm[lo:hi] @ Cm.T, -1.0, 1.0))
+    ok = (D - Rv[lo:hi, None] - Rv[None, :]) <= max_ang
+    ii, jj = np.nonzero(ok)
+    ii = ii + lo
+    keep = jj >= ii
+    return ii[keep].astype("int64"), jj[keep].astype("int64")
+
+
 def _embedding_pairs_ds(sf_dir: str, threshold: float = 0.45,
                         n_clusters: int = 16, n_train: int = 2048,
                         seed: int = 13) -> rd.Dataset:
@@ -955,16 +955,34 @@ def _embedding_pairs_ds(sf_dir: str, threshold: float = 0.45,
     stats = [stats[i] for i in keep_blocks]
     max_ang = float(np.arccos(np.clip(threshold, -1.0, 1.0)))
 
-    def may_touch(i: int, j: int) -> bool:
-        ci, ri = stats[i]
-        cj, rj = stats[j]
-        if ci is None or cj is None:
-            return True
-        d = float(np.arccos(np.clip(np.dot(ci, cj), -1.0, 1.0)))
-        return (d - ri - rj) <= max_ang
-
-    grid = [{"bi": i, "bj": j} for i in range(len(refs))
-            for j in range(i, len(refs)) if i == j or may_touch(i, j)]
+    # grid pruning, vectorized + task-parallel (was a driver-side
+    # O(B^2)-interpreted Python loop — fine at tens of blocks, a
+    # bottleneck at the 10^5-block regime): centroids/radii pack into a
+    # (B, d) matrix broadcast ONCE; one Ray task per row-chunk computes
+    # its arccos(C_chunk @ C.T) slice and returns only the surviving
+    # upper-triangle (bi, bj) index pairs, so the driver holds the
+    # pruned pair list and nothing quadratic. A degenerate block
+    # (no centroid) carries radius pi, which makes the triangle bound
+    # unconditionally pass — no special-casing; the i == j diagonal
+    # passes unconditionally too (D=0 <= max_ang + 2r).
+    B = len(refs)
+    if B:
+        dim = next((len(c) for c, _ in stats if c is not None), 1)
+        cm_ref = ray.put(np.stack(
+            [c if c is not None else np.zeros(dim) for c, _ in stats]))
+        rv_ref = ray.put(np.array(
+            [np.pi if c is None else r for c, r in stats]))
+        chunk = 2048
+        parts = ray.get([
+            _grid_prune_chunk.remote(cm_ref, rv_ref, lo,
+                                     min(lo + chunk, B), max_ang)
+            for lo in range(0, B, chunk)])
+        bi = np.concatenate([p[0] for p in parts])
+        bj = np.concatenate([p[1] for p in parts])
+    else:
+        bi = bj = np.array([], dtype="int64")
+    grid_tbl = pa.table({"bi": pa.array(bi, type=pa.int64()),
+                         "bj": pa.array(bj, type=pa.int64())})
 
     class BlockPairCosine:
         """One call per surviving (i, j) block pair; blocks cached per
@@ -1011,7 +1029,7 @@ def _embedding_pairs_ds(sf_dir: str, threshold: float = 0.45,
             return (pd.concat(out, ignore_index=True) if out
                     else pd.DataFrame({"a": [], "b": [], "cos": []}))
 
-    return rd.from_items(grid).map_batches(
+    return rd.from_arrow(grid_tbl).map_batches(
         BlockPairCosine, batch_format="pandas", batch_size=4,
         concurrency=auto_pool(), fn_constructor_kwargs={"refs": refs})
 
