@@ -51,21 +51,24 @@ from .crawl_queries import corpus_parquet
 _DANG = ""          # sentinel groupby key for the dangling-mass scalar
 
 
-def _edges_ds(corpus: str, broadcast: bool = True) -> rd.Dataset:
+def _edges_ds(corpus: str, membership: bool = True) -> rd.Dataset:
     """DISTINCT page->page edge Dataset: flatten -> canonicalize ->
     same-host filter -> node-membership filter.
 
-    Membership runs one of two ways (equality test-pinned):
-    - ``broadcast=True`` (default): the node set is ray.put once and
+    The distinct needs no shuffle: a src doc's spans live in exactly
+    one corpus block, so (src, dst) duplicates can only be intra-batch
+    and one per-batch ``drop_duplicates`` is globally distinct.
+
+    - ``membership=True`` (default): the node set is ray.put once and
       each batch filters with a vectorized ``isin`` — ZERO shuffles.
-      The distinct needs no shuffle either: a src doc's spans live in
-      exactly one corpus block, so (src, dst) duplicates can only be
-      intra-batch and one per-batch ``drop_duplicates`` is globally
-      distinct. Right up to node sets that fit worker heaps (~10^8).
-    - ``broadcast=False``: the reduce-side groupby(dst) semi-join with
-      node-marker rows — the 10^10-node path (no corpus-wide
-      membership broadcast), at the cost of one all-to-all whose
-      per-group overhead dominates toy scale."""
+      Right up to node sets that fit a node's plasma store (~10^8).
+    - ``membership=False``: emit all same-host candidates unfiltered;
+      the caller enforces membership — the 10^10-node path defers it to
+      :class:`_ShardEncode`'s hash-partitioned index probe, where a
+      missing dst encodes to -1 and is dropped, so membership costs no
+      extra pass at all (it used to be a reduce-side groupby(dst)
+      semi-join whose per-group all-to-all constant dominated;
+      equality is pinned by TestGraphOps)."""
 
     def link_candidates(batch: pa.Table) -> pd.DataFrame:
         spans = batch.column("spans")
@@ -91,24 +94,8 @@ def _edges_ds(corpus: str, broadcast: bool = True) -> rd.Dataset:
             "side": pa.array(np.full(int(keep.sum()), 1, dtype=np.int8)),
         })
 
-    def node_rows(batch: pa.Table) -> pa.Table:
-        urls = pc.cast(batch.column("doc_id"), pa.string())
-        return pa.table({
-            "dst": urls,
-            "src": pa.array([""] * len(urls), pa.string()),
-            "side": pa.array(np.zeros(len(urls), dtype=np.int8)),
-        })
-
-    def member_distinct(g: pd.DataFrame) -> pd.DataFrame:
-        if not (g["side"] == 0).any():      # dst not a corpus page
-            return pd.DataFrame({"src": pd.Series(dtype="object"),
-                                 "dst": pd.Series(dtype="object")})
-        srcs = g.loc[g["side"] == 1, "src"].unique()
-        return pd.DataFrame({"src": srcs,
-                             "dst": g["dst"].iloc[0]})
-
     ds = rd.read_parquet(corpus)
-    if broadcast:
+    if membership:
         import pyarrow.parquet as _pq
 
         nodes_ref = ray.put(frozenset(
@@ -124,10 +111,12 @@ def _edges_ds(corpus: str, broadcast: bool = True) -> rd.Dataset:
             return df[df["dst"].isin(nodes)].drop_duplicates()
 
         return ds.map_batches(candidates_filtered, batch_format="pyarrow")
-    return (ds.map_batches(link_candidates, batch_format="pyarrow")
-            .union(ds.map_batches(node_rows, batch_format="pyarrow"))
-            .groupby("dst")
-            .map_groups(member_distinct, batch_format="pandas"))
+
+    def candidates_distinct(batch: pa.Table) -> pd.DataFrame:
+        return (link_candidates(batch).select(["src", "dst"])
+                .to_pandas().drop_duplicates())
+
+    return ds.map_batches(candidates_distinct, batch_format="pyarrow")
 
 
 def _sorted_node_ids(corpus: str) -> list[str]:
@@ -217,7 +206,9 @@ class _ShardEncode:
     """Actor-pool edge encoder: probes the hash-partitioned node index
     (the PartitionedCorpusBackend idiom). Shards resolve plasma-local
     ONCE per actor in __init__ — never rebuilt per batch, never a
-    driver-side dict."""
+    driver-side dict. A URL absent from the index encodes to -1 and
+    the row is dropped, so node-membership filtering is a FREE
+    byproduct of the encode probe (no separate semi-join pass)."""
 
     def __init__(self, shard_refs: list, S: int):
         self._shards = ray.get(list(shard_refs))
@@ -228,19 +219,25 @@ class _ShardEncode:
 
         h = crc32_many(pa.array(urls.astype(str), pa.string())) \
             % np.uint32(self._S)
-        res = np.empty(len(urls), dtype="int64")
+        res = np.full(len(urls), -1, dtype="int64")
         for s in range(self._S):
             m = h == s
             if m.any():
                 su, si = self._shards[s]
-                res[m] = si[np.searchsorted(su, urls[m])]
+                pos = np.searchsorted(su, urls[m])
+                inb = pos < len(su)
+                found = inb.copy()
+                found[inb] = su[pos[inb]] == urls[m][inb]
+                out = np.full(int(m.sum()), -1, dtype="int64")
+                out[found] = si[pos[found]]
+                res[m] = out
         return res
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "s": self._lookup(batch["src"].to_numpy(dtype=object)),
-            "t": self._lookup(batch["dst"].to_numpy(dtype=object)),
-        })
+        s = self._lookup(batch["src"].to_numpy(dtype=object))
+        t = self._lookup(batch["dst"].to_numpy(dtype=object))
+        keep = (s >= 0) & (t >= 0)
+        return pd.DataFrame({"s": s[keep], "t": t[keep]})
 
 
 @ray.remote
@@ -317,9 +314,11 @@ def _pagerank_sharded(corpus: str, d: float, iters: int,
       block (driver holds O(blocks) counts) -> crc32-hash-partitioned
       probe shards in the object store; edges encode in an actor pool
       that binary-searches the shards (:class:`_ShardEncode`);
-    - edge derivation: the reduce-side groupby(dst) semi-join
-      (``_edges_ds(broadcast=False)``) — no corpus-wide membership
-      broadcast either;
+    - edge derivation: per-batch candidates with NO membership pass at
+      all (``_edges_ds(membership=False)``) — a dst outside the corpus
+      encodes to -1 in the shard probe and is dropped there, so
+      membership rides the encode for free (no corpus-wide broadcast,
+      no semi-join shuffle);
     - iteration state: deg / rank / rank-over-deg live as R
       range-shards in the object store; edges are grid-partitioned
       into R x R (s-range, t-range) cells once; each sweep runs one
@@ -353,7 +352,7 @@ def _pagerank_sharded(corpus: str, d: float, iters: int,
 
     from ..functions.pool import auto_pool
 
-    enc = (_edges_ds(corpus, broadcast=False)
+    enc = (_edges_ds(corpus, membership=False)
            .map_batches(_ShardEncode,
                         fn_constructor_args=(shard_refs, S),
                         batch_format="pandas",

@@ -956,18 +956,38 @@ class TestGraph:
         # every node keeps at least the teleport floor
         assert (got["rank"] >= round((1 - d) / N, 6) - 1e-9).all()
 
-    def test_edges_broadcast_equals_reduce_side(self):
-        """The zero-shuffle broadcast-membership edge derivation must
-        yield exactly the reduce-side semi-join's edge set."""
+    def test_edges_broadcast_equals_shard_probe(self):
+        """Membership via the broadcast node set and membership as a
+        byproduct of the sharded index probe (missing URL -> -1 ->
+        dropped) must yield exactly the same edge set."""
+        import numpy as np
+        import pandas as pd
+
         from go_crawler_ray.pipelines.crawl_queries import corpus_parquet
-        from go_crawler_ray.pipelines.graph import _edges_ds
+        from go_crawler_ray.pipelines.graph import (_ShardEncode,
+                                                    _edges_ds,
+                                                    _sorted_node_ids)
 
         corpus = corpus_parquet("/root/testdata/sf0.001")
-        b = _edges_ds(corpus, broadcast=True).to_pandas()
-        r = _edges_ds(corpus, broadcast=False).to_pandas()
+        b = _edges_ds(corpus, membership=True).to_pandas()
         eb = set(zip(b["src"], b["dst"]))
-        er = set(zip(r["src"], r["dst"]))
         assert len(b) == len(eb)        # broadcast path is distinct
+
+        ids = np.array(_sorted_node_ids(corpus), dtype=object)
+        cand = _edges_ds(corpus, membership=False).to_pandas()
+        assert len(cand) >= len(b)      # unfiltered candidates superset
+        S = 4
+        from go_crawler_ray.functions.hashing import crc32_many
+        import pyarrow as pa
+        import ray
+
+        h = crc32_many(pa.array(ids.astype(str), pa.string())) \
+            % np.uint32(S)
+        shard_refs = [ray.put((ids[h == s],
+                               np.nonzero(h == s)[0].astype("int64")))
+                      for s in range(S)]
+        enc = _ShardEncode(shard_refs, S)(cand)
+        er = set(zip(ids[enc["s"].to_numpy()], ids[enc["t"].to_numpy()]))
         assert eb == er and len(eb) > 0
 
 
