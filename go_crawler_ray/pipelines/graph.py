@@ -305,31 +305,21 @@ def _rank_update(d: float, N: float, D: float,
     return (1.0 - d) / N + d * (np.sum(parts, axis=0) + D / N)
 
 
-def _pagerank_sharded(corpus: str, d: float, iters: int,
-                      n_shards: int = 8, n_ranges: int = 4) -> pd.DataFrame:
-    """PageRank with NO node-keyed state on the driver (the 10^10-node
-    mode; ``pagerank(sharded=True)``):
+def _sharded_graph(corpus: str, S: int, R: int) -> tuple:
+    """Shared sharded-graph preamble for the 10^10-node modes
+    (``pagerank(sharded=True)`` / ``components(sharded=True)``):
 
-    - node index: distributed sort of doc_id -> contiguous ids per
-      block (driver holds O(blocks) counts) -> crc32-hash-partitioned
-      probe shards in the object store; edges encode in an actor pool
-      that binary-searches the shards (:class:`_ShardEncode`);
-    - edge derivation: per-batch candidates with NO membership pass at
-      all (``_edges_ds(membership=False)``) — a dst outside the corpus
-      encodes to -1 in the shard probe and is dropped there, so
-      membership rides the encode for free (no corpus-wide broadcast,
-      no semi-join shuffle);
-    - iteration state: deg / rank / rank-over-deg live as R
-      range-shards in the object store; edges are grid-partitioned
-      into R x R (s-range, t-range) cells once; each sweep runs one
-      task per non-empty cell reading exactly one rank shard and
-      emitting one t-range partial; per-range update tasks fold the
-      partials. The driver touches refs and the dangling-mass scalars
-      only.
+    - node index: distributed sort of doc_id -> contiguous global ids
+      per block (driver holds O(blocks) counts only) ->
+      crc32-hash-partitioned probe shards in the object store;
+    - edges: per-batch-distinct candidates (no membership pass) encoded
+      by the :class:`_ShardEncode` actor pool — a URL missing from the
+      index probes to -1 and drops there, so membership is free;
+    - layout: encoded edges grid-partitioned ONCE into R x R
+      (s-range, t-range) cells living in the object store.
 
-    The dense mode remains the default below ~10^8 nodes: same
-    arithmetic, fewer moving parts (equality pinned by
-    TestShardedPagerank at the rounded 6-place contract)."""
+    Returns (idx_blocks, n_nodes, lo, sizes, cells); everything but the
+    scalars is object refs."""
     ids_ds = (rd.read_parquet(corpus, columns=["doc_id"])
               .sort("doc_id").materialize())
     from ..pipelines.crawl import _arrow_block_and_count
@@ -338,8 +328,6 @@ def _pagerank_sharded(corpus: str, d: float, iters: int,
     counts = ray.get([b[1] for b in blk])
     offsets = np.cumsum([0] + counts[:-1])
     n_nodes = int(sum(counts))
-    N = float(n_nodes)
-    S, R = n_shards, n_ranges
     idx_blocks = [_idx_block.remote(b[0], int(o))
                   for b, c, o in zip(blk, counts, offsets) if c]
 
@@ -374,6 +362,38 @@ def _pagerank_sharded(corpus: str, d: float, iters: int,
                  {"s": pa.array([], pa.int64()),
                   "t": pa.array([], pa.int64())}))
              for c in range(R * R)]
+    return idx_blocks, n_nodes, lo, sizes, cells
+
+
+def _pagerank_sharded(corpus: str, d: float, iters: int,
+                      n_shards: int = 8, n_ranges: int = 4) -> pd.DataFrame:
+    """PageRank with NO node-keyed state on the driver (the 10^10-node
+    mode; ``pagerank(sharded=True)``):
+
+    - node index: distributed sort of doc_id -> contiguous ids per
+      block (driver holds O(blocks) counts) -> crc32-hash-partitioned
+      probe shards in the object store; edges encode in an actor pool
+      that binary-searches the shards (:class:`_ShardEncode`);
+    - edge derivation: per-batch candidates with NO membership pass at
+      all (``_edges_ds(membership=False)``) — a dst outside the corpus
+      encodes to -1 in the shard probe and is dropped there, so
+      membership rides the encode for free (no corpus-wide broadcast,
+      no semi-join shuffle);
+    - iteration state: deg / rank / rank-over-deg live as R
+      range-shards in the object store; edges are grid-partitioned
+      into R x R (s-range, t-range) cells once; each sweep runs one
+      task per non-empty cell reading exactly one rank shard and
+      emitting one t-range partial; per-range update tasks fold the
+      partials. The driver touches refs and the dangling-mass scalars
+      only.
+
+    The dense mode remains the default below ~10^8 nodes: same
+    arithmetic, fewer moving parts (equality pinned by
+    TestShardedPagerank at the rounded 6-place contract)."""
+    idx_blocks, n_nodes, lo, sizes, cells = _sharded_graph(
+        corpus, n_shards, n_ranges)
+    N = float(n_nodes)
+    R = n_ranges
 
     deg = [_deg_shard.remote(lo[i], sizes[i],
                              *[cells[i * R + j] for j in range(R)])
@@ -408,10 +428,10 @@ def pagerank(sf_dir: str, d: float = 0.85, iters: int = 5,
     PageRank is actually run — Page et al. 1999; Malewicz et al. 2010
     Pregel both describe the per-partition accumulate):
 
-    1. the (src, dst) edge set comes from the shared reduce-side
-       derivation (:func:`_edges_ds`, one groupby semi-join, computed
-       ONCE) and is integer-encoded against a broadcast node index;
-       encoded edge blocks live in the object store;
+    1. the (src, dst) edge set comes from the zero-shuffle broadcast
+       derivation (:func:`_edges_ds`, computed ONCE) and is
+       integer-encoded against a broadcast node index; encoded edge
+       blocks live in the object store;
     2. each sweep launches one task per edge block: a vectorized
        ``np.add.at`` dense accumulate of r[s]/deg[s] into an n_nodes
        float vector — NO per-iteration shuffle at all (the previous
@@ -524,8 +544,96 @@ def _cc_partial(enc: pa.Table, lab: np.ndarray) -> np.ndarray:
     return acc
 
 
+@ray.remote(num_cpus=0)
+def _lab_init(lo: int, size: int) -> np.ndarray:
+    return lo + np.arange(size, dtype="int64")
+
+
+@ray.remote(num_returns=2)
+def _cc_cell(cell: pa.Table, Li: np.ndarray, Lj: np.ndarray,
+             lo_i: int, lo_j: int) -> tuple:
+    """Grid cell (i, j)'s min-label proposals into BOTH of its ranges:
+    for every (s, t) edge fold min(L[s], L[t]) into copies of label
+    shards i and j. Cell and shard refs resolve plasma-local; the two
+    range-sized proposals return as separate refs so each range's
+    update task fetches only its own."""
+    pi, pj = Li.copy(), Lj.copy()
+    if cell.num_rows:
+        s = cell.column("s").to_numpy(zero_copy_only=False) - lo_i
+        t = cell.column("t").to_numpy(zero_copy_only=False) - lo_j
+        e = np.minimum(Li[s], Lj[t])
+        np.minimum.at(pi, s, e)
+        np.minimum.at(pj, t, e)
+    return pi, pj
+
+
+@ray.remote(num_returns=2)
+def _lab_update(old: np.ndarray, lo: int, *parts: np.ndarray) -> tuple:
+    """Fold one range's proposals, then SHARD-LOCAL pointer jumping
+    (labels pointing inside this range compress to their target's
+    label; cross-range pointers resolve over subsequent rounds — the
+    edge-consistency fixpoint, not the jumping, is what convergence is
+    declared on). Returns (new labels, changed?) as separate refs so
+    the driver fetches only the booleans."""
+    L = old
+    for p in parts:
+        L = np.minimum(L, p)
+    size = len(L)
+    while True:
+        local = (L >= lo) & (L < lo + size)
+        L2 = L.copy()
+        L2[local] = L[L[local] - lo]
+        if np.array_equal(L2, L):
+            break
+        L = L2
+    return L, bool(not np.array_equal(L, old))
+
+
+def _components_sharded(corpus: str, max_rounds: int = 64,
+                        n_shards: int = 8, n_ranges: int = 4) -> pd.DataFrame:
+    """Connected components with NO node-keyed state on the driver (the
+    10^10-node mode; ``components(sharded=True)``): the
+    :func:`_sharded_graph` index/edge/grid layout, labels as R range
+    shards in the object store, one :func:`_cc_cell` task per grid cell
+    per round and one :func:`_lab_update` fold per range. The driver
+    touches refs and R booleans per round. Min-label propagation
+    converges in <= diameter rounds (each round moves labels one hop in
+    both edge directions); shard-local pointer jumping accelerates it.
+    At an edge-consistent fixpoint every edge's endpoints share a label
+    and each component's common label is its minimum node id, so the
+    result equals the dense mode exactly (pinned by TestComponents)."""
+    idx_blocks, n_nodes, lo, sizes, cells = _sharded_graph(
+        corpus, n_shards, n_ranges)
+    R = n_ranges
+    lab = [_lab_init.remote(lo[i], sizes[i]) for i in range(R)]
+    for _ in range(max_rounds):
+        props = [[_cc_cell.remote(cells[i * R + j], lab[i], lab[j],
+                                  lo[i], lo[j])
+                  for j in range(R)] for i in range(R)]
+        new_lab, changed = [], []
+        for k in range(R):
+            parts = ([props[k][j][0] for j in range(R)]
+                     + [props[i][k][1] for i in range(R)])
+            nl, ch = _lab_update.remote(lab[k], lo[k], *parts)
+            new_lab.append(nl)
+            changed.append(ch)
+        lab = new_lab
+        if not any(ray.get(changed)):
+            break
+    else:
+        raise RuntimeError(f"components: no fixpoint after {max_rounds} "
+                           "rounds")
+    urls = np.concatenate([
+        np.asarray(t.column("url").to_pylist(), dtype=object)
+        for t in ray.get(idx_blocks)])
+    # the query CONTRACT returns a driver-side DataFrame — this final
+    # O(N) gather is the result itself, not iteration state
+    L = np.concatenate(ray.get(lab))
+    return pd.DataFrame({"node": urls, "component": urls[L]})
+
+
 def components(sf_dir: str, max_rounds: int = 64,
-               algorithm: str = "dense") -> pd.DataFrame:
+               algorithm: str = "dense", sharded: bool = False) -> pd.DataFrame:
     """(node, component): undirected connected components of the corpus
     link graph; component = lexicographic min URL in the component.
 
@@ -540,16 +648,20 @@ def components(sf_dir: str, max_rounds: int = 64,
     pointer-jumping compression (L <- L[L] to fixpoint, driver-cheap on
     the dense vector), and re-broadcasts. Convergence = a round that
     changes nothing; min-label + compression converges in O(log
-    diameter) rounds. At 10^10 nodes the dense vector shards by node
-    range exactly like pagerank's sharded accumulator (the label fold
-    and compression become per-range tasks over label-shard refs); the
-    block-task structure is unchanged.
+    diameter) rounds. At 10^10 nodes the dense vector no longer fits
+    one task and the node index no longer fits the driver:
+    ``sharded=True`` switches to :func:`_components_sharded` — the same
+    hash-partitioned index probe, R x R edge grid, and range-sharded
+    label state as ``pagerank(sharded=True)``, with no node-keyed
+    driver state at all (equality pinned by TestComponents).
 
     ``algorithm="htm"`` keeps the round-3 Hash-to-Min formulation
     (Rastogi et al. 2012) as the shuffle-based equivalence path — one
     groupby("node") per round over adjacency state — pinned equal to
     the dense path by tests (TestComponents)."""
     corpus = corpus_parquet(sf_dir)
+    if sharded:
+        return _components_sharded(corpus, max_rounds)
     if algorithm == "htm":
         return _components_htm(corpus, max_rounds)
     ids = _sorted_node_ids(corpus)

@@ -1112,6 +1112,19 @@ class TestComponents:
         sharded = graph.pagerank(sf, sharded=True).reset_index(drop=True)
         pd.testing.assert_frame_equal(dense, sharded)
 
+    def test_sharded_components_equals_dense(self):
+        """components(sharded=True) — range-sharded label state, grid
+        min-label cell tasks, zero node-keyed driver state — must
+        reproduce the dense mode exactly."""
+        import pandas as pd
+
+        from go_crawler_ray.pipelines import graph
+
+        sf = "/root/testdata/sf0.001"
+        dense = graph.components(sf).reset_index(drop=True)
+        sharded = graph.components(sf, sharded=True).reset_index(drop=True)
+        pd.testing.assert_frame_equal(dense, sharded)
+
     def test_dense_equals_hash_to_min(self):
         """The dense block-task min-label path (default) and the
         shuffle-based Hash-to-Min path produce identical labelings."""
