@@ -154,6 +154,7 @@ def run_bench() -> dict:
     if not only:
         from go_crawler_ray.pipelines import ann as _ann
         from go_crawler_ray.pipelines import dedup as _dedup
+        from go_crawler_ray.pipelines import graph as _graph
         from go_crawler_ray.pipelines import relational as _rel
         from go_crawler_ray.pipelines import sampling as _sample
         from go_crawler_ray.pipelines import textproc as _text
@@ -180,6 +181,8 @@ def run_bench() -> dict:
             ("dedup_dup_spans", _dedup.duplicate_ngram_spans),
             ("dedup_embedding_clusters", _dedup.embedding_clusters),
             ("ann_brute_force_topk", _ann.brute_force_topk),
+            ("graph_components", _graph.components),
+            ("graph_pagerank", _graph.pagerank),
         ]:
             probes[name] = host_probe()
             t0 = time.time()
