@@ -134,6 +134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_resize": _mm.media_resize,
         "multimodal_features": _mm.media_features,
         "multimodal_frames": _mm.media_frames,
+        "dedup_semantic": _dedup.semantic_dedup,
     }
 
 
@@ -630,6 +631,19 @@ def oracle_sql() -> dict[str, str]:
             "reach(u, v) AS (SELECT vec_id, vec_id FROM embeddings "
             "UNION SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v) "
             "SELECT u AS vec_id, CAST(MIN(v) AS BIGINT) AS cluster_id "
+            "FROM reach GROUP BY u ORDER BY vec_id"),
+        # SemDedup-style verdict: keep exactly the component-min vector
+        # of every cosine >= 0.45 component (singletons keep themselves)
+        "dedup_semantic": (
+            "WITH RECURSIVE prs AS (SELECT a.vec_id AS a, b.vec_id AS b "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.embedding, b.embedding) "
+            ">= 0.45), "
+            "edges AS (SELECT a AS u, b AS v FROM prs "
+            "UNION ALL SELECT b AS u, a AS v FROM prs), "
+            "reach(u, v) AS (SELECT vec_id, vec_id FROM embeddings "
+            "UNION SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v) "
+            "SELECT u AS vec_id, CAST(u = MIN(v) AS BIGINT) AS keep "
             "FROM reach GROUP BY u ORDER BY vec_id"),
         # duplicated-k-gram spans (exact substring-level dedup at token
         # 8-gram granularity): census -> >=2 occurrences -> per-doc

@@ -1078,6 +1078,28 @@ def embedding_clusters(sf_dir: str, threshold: float = 0.45) -> pd.DataFrame:
     return out.sort_values("vec_id").reset_index(drop=True)
 
 
+def semantic_dedup(sf_dir: str, threshold: float = 0.45) -> pd.DataFrame:
+    """(vec_id, keep): SemDedup-style semantic deduplication (Abbas et
+    al. 2023, "SemDeDup: Data-efficient learning at web-scale through
+    semantic deduplication"): within every connected component of the
+    exact cosine >= ``threshold`` near-dup graph keep exactly ONE
+    representative — the minimum vec_id (a deterministic stand-in for
+    the paper's keep-one-per-cluster policy, chosen so an exact SQL
+    oracle exists); singletons keep themselves.
+
+    Pure composition over :func:`embedding_clusters` (pruned block-pair
+    matmul pair graph + Hash-to-Min components, all distributed):
+    keep = 1 iff vec_id equals its component min. The verdict table is
+    the filter a curation pipeline semi-joins against the documents
+    table — the :func:`paragraph_dedup` keep-column discipline at
+    whole-document granularity."""
+    cl = embedding_clusters(sf_dir, threshold)
+    return pd.DataFrame({
+        "vec_id": cl["vec_id"],
+        "keep": (cl["vec_id"] == cl["cluster_id"]).astype("int64"),
+    })
+
+
 # ---------------------------------------------------------------------------
 # Incremental (cross-corpus) dedup: Bloom-filter prefilter + exact confirm
 

@@ -110,6 +110,14 @@ class TestDedup:
         got = dict(zip(out["vec_id"], out["cluster_id"]))
         assert got == {0: 0, 1: 0, 2: 0, 3: 3}
 
+        # SemDedup verdict over the same fixture: exactly one keeper
+        # per component — the min id — and the singleton keeps itself
+        from go_crawler_ray.pipelines.dedup import semantic_dedup
+
+        sd = semantic_dedup(str(tmp_path), threshold=0.5)
+        assert dict(zip(sd["vec_id"], sd["keep"])) == {0: 1, 1: 0,
+                                                       2: 0, 3: 1}
+
     def test_exact_dedup_covers_all_docs(self):
         from go_crawler_ray.pipelines.dedup import exact_dedup
 
