@@ -135,6 +135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_features": _mm.media_features,
         "multimodal_frames": _mm.media_frames,
         "dedup_semantic": _dedup.semantic_dedup,
+        "text_dsir": _text.dsir_scores,
     }
 
 
@@ -645,6 +646,38 @@ def oracle_sql() -> dict[str, str]:
             "UNION SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v) "
             "SELECT u AS vec_id, CAST(u = MIN(v) AS BIGINT) AS keep "
             "FROM reach GROUP BY u ORDER BY vec_id"),
+        # DSIR importance log-weights: hashed unigram+bigram buckets
+        # (shared crc32 % 1024), add-1-smoothed target (lang='en') vs
+        # raw bucket models, micro-nat-quantized log ratio, exact int64
+        # per-doc feature-dot-score sums (the unigram_surprisal
+        # integer discipline)
+        "text_dsir": (
+            f"WITH t AS (SELECT doc_id, lang, {_TOKENS} AS toks "
+            f"FROM documents), "
+            f"g AS (SELECT doc_id, lang, unnest(list_concat(toks, "
+            f"list_transform(range(1, len(toks)), "
+            f"i -> toks[i] || ' ' || toks[i+1]))) AS gram FROM t), "
+            f"b AS (SELECT doc_id, lang, {_crc32_sql('gram')} % 1024 "
+            f"AS bk FROM g), "
+            f"rw AS (SELECT bk, CAST(COUNT(*) AS BIGINT) AS n FROM b "
+            f"GROUP BY bk), "
+            f"tg AS (SELECT bk, CAST(COUNT(*) AS BIGINT) AS n FROM b "
+            f"WHERE lang = 'en' GROUP BY bk), "
+            f"tot AS (SELECT (SELECT SUM(n) FROM rw) AS nr, "
+            f"(SELECT COALESCE(SUM(n), 0) FROM tg) AS nt), "
+            f"bks AS (SELECT CAST(unnest(range(0, 1024)) AS BIGINT) "
+            f"AS bk), "
+            f"s AS (SELECT bks.bk, CAST(ROUND((ln((COALESCE(tg.n, 0) "
+            f"+ 1.0) / (nt + 1024)) - ln((COALESCE(rw.n, 0) + 1.0) / "
+            f"(nr + 1024))) * 1000000.0, 0) AS BIGINT) AS s "
+            f"FROM bks LEFT JOIN tg USING (bk) LEFT JOIN rw USING (bk) "
+            f"CROSS JOIN tot), "
+            f"f AS (SELECT doc_id, bk, CAST(COUNT(*) AS BIGINT) AS f "
+            f"FROM b GROUP BY doc_id, bk), "
+            f"sc AS (SELECT doc_id, CAST(SUM(f.f * s.s) AS BIGINT) AS sw "
+            f"FROM f JOIN s USING (bk) GROUP BY doc_id) "
+            f"SELECT doc_id, ROUND(CAST(sw AS DOUBLE) / 1000000.0, 4) "
+            f"AS dsir_logw FROM sc ORDER BY doc_id"),
         # duplicated-k-gram spans (exact substring-level dedup at token
         # 8-gram granularity): census -> >=2 occurrences -> per-doc
         # island merge of overlapping/touching gram starts

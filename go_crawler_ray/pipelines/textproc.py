@@ -720,3 +720,103 @@ s AS (SELECT d.doc_id, CAST(SUM(q.q) AS BIGINT) AS sq,
       FROM d JOIN q USING (word) GROUP BY d.doc_id)
 SELECT doc_id, ROUND(CAST(sq AS DOUBLE) / nt / 1000000.0, 4) AS surprisal
 FROM s ORDER BY doc_id"""
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance scores (hashed-ngram importance resampling weights)
+
+DSIR_BUCKETS = 1024
+
+
+def _hashed_grams(texts: pd.Series, n_buckets: int):
+    """(bucket_ids, row_indices) of every unigram AND bigram of each
+    row, hashed with zlib-crc32 into ``n_buckets`` (the shared SQL
+    pairing: bucket = crc32(gram) % n_buckets, bigram = 'w1 w2').
+    Bigrams come from the shifted-concat trick over ONE explode — no
+    per-row Python loop."""
+    from ..functions.hashing import crc32_many
+
+    toks = texts.str.strip().str.split(_WS).reset_index(drop=True)
+    ex = toks.explode()
+    idx = ex.index.to_numpy(dtype="int64")
+    words = ex.to_numpy(dtype=object).astype(str)
+    if len(words) > 1:
+        same = idx[:-1] == idx[1:]
+        big = np.char.add(np.char.add(words[:-1], " "), words[1:])[same]
+        grams = np.concatenate([words, big])
+        gidx = np.concatenate([idx, idx[:-1][same]])
+    else:
+        grams, gidx = words, idx
+    bk = (crc32_many(pa.array(grams, pa.string()))
+          % np.uint32(n_buckets)).astype("int64")
+    return bk, gidx
+
+
+def dsir_scores(sf_dir: str, target_lang: str = "en",
+                n_buckets: int = DSIR_BUCKETS) -> pd.DataFrame:
+    """(doc_id, dsir_logw): DSIR importance log-weights (Xie et al.
+    2023, "Data Selection for Language Models via Importance
+    Resampling"): bag-of-hashed-ngrams features (unigrams + bigrams,
+    crc32 % ``n_buckets``), a target bucket unigram model fit on the
+    docs with ``lang == target_lang`` vs the raw model on the whole
+    corpus (add-1 smoothed), and per-doc
+    ``log w = Σ_b f_b · (ln p_target(b) − ln p_raw(b))`` — the weight
+    importance resampling would exponentiate to select target-like data.
+
+    Integer discipline mirrors :func:`unigram_surprisal`: the per-bucket
+    log ratio quantizes to micro-nats ONCE (2 × n_buckets scalar ``ln``
+    on identical double ratios on both sides), per-doc accumulation is
+    order-free exact int64, and the one trailing float op is the final
+    1e-6 scale — so the SQL oracle is value-exact.
+
+    Scale shape — two streaming passes, ZERO shuffles:
+    1. bucket census: per-batch DENSE ``int64[n_buckets]`` partial count
+       vectors for (target, raw), folded at the driver — the
+       revenue_percentiles mergeable-sketch discipline; bucket ids are
+       dense by construction so there is nothing to group by;
+    2. scoring: the quantized int table broadcasts via ``ray.put``; a
+       stateless vectorized map (hash → table gather → segment-sum)
+       scores every doc. The corpus never shuffles and the driver holds
+       2 × n_buckets ints of model state."""
+    import math
+
+    import ray
+
+    ds = _read_docs(sf_dir, ["doc_id", "text", "lang"])
+
+    def partials(batch: pd.DataFrame) -> pd.DataFrame:
+        bk, gidx = _hashed_grams(batch["text"], n_buckets)
+        raw = np.bincount(bk, minlength=n_buckets).astype("int64")
+        tgt_row = (batch["lang"] == target_lang).to_numpy()
+        tgt = np.bincount(bk[tgt_row[gidx]],
+                          minlength=n_buckets).astype("int64")
+        return pd.DataFrame({"raw": [raw], "tgt": [tgt]})
+
+    cen = ds.map_batches(partials, batch_format="pandas").to_pandas()
+    raw = np.sum(np.stack(cen["raw"].to_numpy()), axis=0)
+    tgt = np.sum(np.stack(cen["tgt"].to_numpy()), axis=0)
+    n_raw, n_tgt = int(raw.sum()), int(tgt.sum())
+    s = np.array([int(round_half_away(
+        (math.log((int(t) + 1) / (n_tgt + n_buckets))
+         - math.log((int(r) + 1) / (n_raw + n_buckets))) * 1e6, 0))
+        for t, r in zip(tgt, raw)], dtype="int64")
+    s_ref = ray.put(s)
+
+    class Score:
+        def __init__(self):
+            self.s = ray.get(s_ref)     # plasma-local int table
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            bk, gidx = _hashed_grams(batch["text"], n_buckets)
+            acc = np.zeros(len(batch), dtype="int64")
+            np.add.at(acc, gidx, self.s[bk])
+            return pd.DataFrame({
+                "doc_id": batch["doc_id"].astype("int64"),
+                "dsir_logw": round_half_away(
+                    acc.astype("float64") / 1e6),
+            })
+
+    out = ds.map_batches(Score, batch_format="pandas",
+                         concurrency=auto_pool()).to_pandas()
+    return out[["doc_id", "dsir_logw"]].sort_values(
+        "doc_id").reset_index(drop=True)

@@ -1224,6 +1224,66 @@ class TestModelAndTemperature:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestDsir:
+    def test_target_like_doc_scores_higher(self, tmp_path):
+        """Planted vocabularies: a doc written in the target domain's
+        vocabulary must get a strictly higher importance log-weight than
+        a doc written in the off-domain vocabulary, and the scores must
+        match a local single-process reimplementation exactly."""
+        import math
+        import zlib
+
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from go_crawler_ray.functions.compat import round_half_away
+        from go_crawler_ray.pipelines.textproc import dsir_scores
+
+        tgt_text = "alpha beta gamma alpha beta"
+        raw_text = "omega psi chi omega psi"
+        rows = ([(i, tgt_text, "en") for i in range(4)]
+                + [(i + 4, raw_text, "zz") for i in range(4)]
+                + [(8, tgt_text, "zz"),     # target-like but unlabeled
+                   (9, raw_text, "zz")])
+        tbl = pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array([r[2] for r in rows], pa.string()),
+        })
+        pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+        got = dsir_scores(str(tmp_path))
+        by = dict(zip(got["doc_id"], got["dsir_logw"]))
+        assert by[8] > by[9]            # target-like wins
+        assert by[0] == by[8] and by[4] == by[9]   # text-only feature
+
+        # local reimplementation (same hashing, smoothing, quantization)
+        B = 1024
+
+        def grams(t):
+            ws = t.split()
+            return ws + [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+
+        raw_c = np.zeros(B, dtype="int64")
+        tgt_c = np.zeros(B, dtype="int64")
+        for _, t, lang in rows:
+            for g in grams(t):
+                b = zlib.crc32(g.encode()) % B
+                raw_c[b] += 1
+                if lang == "en":
+                    tgt_c[b] += 1
+        nr, nt = int(raw_c.sum()), int(tgt_c.sum())
+        s = {b: int(round_half_away(
+            (math.log((int(tgt_c[b]) + 1) / (nt + B))
+             - math.log((int(raw_c[b]) + 1) / (nr + B))) * 1e6, 0))
+            for b in range(B)}
+        for did, t, _ in rows:
+            want = round_half_away(sum(
+                s[zlib.crc32(g.encode()) % B] for g in grams(t)) / 1e6)
+            assert by[did] == want
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestSurprisalAndDecon:
     def test_surprisal_matches_local_model(self):
         """Distributed census + scoring == a single-process unigram LM

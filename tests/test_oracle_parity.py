@@ -80,7 +80,7 @@ ORACLE_KEYS = [
     "text_bm25", "text_model_score", "temperature_sample",
     "text_surprisal", "sample_per_group", "decontaminate_ngrams",
     "graph_host_stats", "dedup_simhash_clusters", "dedup_paragraphs",
-    "dedup_semantic",
+    "dedup_semantic", "text_dsir",
 ]
 
 
