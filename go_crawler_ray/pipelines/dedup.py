@@ -228,32 +228,57 @@ class MinHashStage:
         })
 
 
-def _candidate_pairs_ds(ds: rd.Dataset, distinct: bool = True) -> rd.Dataset:
-    """Candidate pairs as a DATASET — groupby band bucket -> all pairs
-    within a bucket -> optional distinct-pair groupby. The pair set
-    never lands on the driver (it used to be a driver ``set``; on a
-    skewed corpus one hot band bucket would have made that the
-    scale-killer). ``distinct=False`` skips the second shuffle when the
-    consumer tolerates a pair colliding in >1 band (connected
-    components do; verification pays at most a bands-x duplication)."""
+def _candidate_pairs_ds(ds: rd.Dataset,
+                        n_salt: int | None = None) -> rd.Dataset:
+    """Candidate pairs as a DATASET. The pair set never lands on the
+    driver (it used to be a driver ``set``; on a skewed corpus one hot
+    band bucket would have made that the scale-killer).
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].unique())
-        if len(ids) < 2:
+    Round-4 shape: the band rows groupby a SALT BUCKET (band_hash mod
+    P, P ~ pool size), NOT the (band_id, band_hash) key — at 216k docs
+    x 16 bands the bucket-keyed groupby carries ~3.5M nearly-all-
+    singleton groups through the all-to-all and pays one Python
+    map_groups call each (the measured many-groups-per-block constant;
+    6.2 s of a 7.6 s op at sf0.1). Inside each of the P groups a
+    vectorized ``duplicated`` mark cuts to the colliding rows and only
+    ACTUAL collision buckets (rare) enumerate pairs in Python. A
+    (band_id, band_hash) bucket always lands whole in one salt group,
+    so the pair set is unchanged. A pair may still surface from >1
+    band: every consumer tolerates that (connected components absorb
+    duplicates; verification pays at most a bands-x duplication), so
+    no dedup-by-pair shuffle runs at all."""
+    from ..functions.pool import cluster_cpus
+
+    P = n_salt or max(16, 4 * int(cluster_cpus()))
+
+    def salt(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[["band_id", "band_hash", "doc_id"]].copy()
+        batch["bkt"] = ((batch["band_hash"].to_numpy().astype(np.uint64)
+                         * np.uint64(31)
+                         + batch["band_id"].to_numpy().astype(np.uint64))
+                        % np.uint64(P)).astype("int64")
+        return batch
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        dup = g[g.duplicated(["band_id", "band_hash"], keep=False)]
+        out_a, out_b = [], []
+        for _, grp in dup.groupby(["band_id", "band_hash"], sort=False):
+            ids = np.sort(pd.unique(grp["doc_id"]))
+            if len(ids) >= 2:
+                ia, ib = np.triu_indices(len(ids), k=1)
+                out_a.append(ids[ia])
+                out_b.append(ids[ib])
+        if not out_a:
             return pd.DataFrame({"a": np.array([], dtype="int64"),
                                  "b": np.array([], dtype="int64")})
-        a, b = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"a": ids[a], "b": ids[b]})
+        return pd.DataFrame({
+            "a": np.concatenate(out_a).astype("int64"),
+            "b": np.concatenate(out_b).astype("int64"),
+        })
 
-    out = ds.groupby(["band_id", "band_hash"]).map_groups(
-        pairs, batch_format="pandas")
-    if distinct:
-        def first(g: pd.DataFrame) -> pd.DataFrame:
-            return g.iloc[:1][["a", "b"]]
-
-        out = (out.groupby(["a", "b"])   # a pair may collide in >1 band
-               .map_groups(first, batch_format="pandas"))
-    return out
+    return (ds.map_batches(salt, batch_format="pandas")
+            .groupby("bkt")
+            .map_groups(bucket_pairs, batch_format="pandas"))
 
 
 def _verify_pairs_ds(pairs_ds: rd.Dataset, sf_dir: str,
@@ -408,10 +433,10 @@ def minhash_clusters(sf_dir: str, threshold: float = 0.8,
                              concurrency=auto_pool(frac=0.25),
                              fn_constructor_kwargs={"num_perms": num_perms,
                                                     "bands": bands})
-    # distinct=False: components absorb multi-band duplicate pairs, so
-    # skipping the second shuffle trades a ≤bands-x verify duplication
-    # (microseconds per pair) for one fewer all-to-all barrier
-    pairs_ds = _candidate_pairs_ds(band_ds, distinct=False).materialize()
+    # no distinct-pair shuffle: components absorb multi-band duplicate
+    # pairs, trading a ≤bands-x verify duplication (microseconds per
+    # pair) for one fewer all-to-all barrier
+    pairs_ds = _candidate_pairs_ds(band_ds).materialize()
 
     labels: dict[int, int] = {}
     if pairs_ds.count():
