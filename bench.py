@@ -178,6 +178,7 @@ def run_bench() -> dict:
             ("dedup_exact", _dedup.exact_dedup),
             ("dedup_paragraphs", _dedup.paragraph_dedup),
             ("dedup_minhash_clusters", _dedup.minhash_clusters),
+            ("dedup_ngram_jaccard", _dedup.ngram_jaccard_pairs),
             ("dedup_dup_spans", _dedup.duplicate_ngram_spans),
             ("dedup_embedding_clusters", _dedup.embedding_clusters),
             ("ann_brute_force_topk", _ann.brute_force_topk),

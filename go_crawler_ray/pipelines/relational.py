@@ -552,10 +552,13 @@ def order_revenue_topk(sf_dir: str, k: int = 20) -> pd.DataFrame:
        combiner halves the shuffle payload to one row per key per
        block);
     2. orders: slim (key, custkey) rows;
-    3. both sides tagged and unioned, then ONE groupby(order key)
-       co-shuffle; each group joins locally (sum the side-1 partials,
-       take side-0's custkey) — inner join: keys missing either side
-       emit nothing;
+    3. both sides tagged and unioned, then ONE groupby over a SALT
+       BUCKET (okey mod P, P ~ pool size) co-shuffle — key-keyed
+       grouping carried one group per order (~150k nearly-singleton
+       groups, one Python call each: the measured many-groups-per-block
+       constant, 39 s at sf0.1) — and each salt group joins its keys
+       with ONE vectorized pandas groupby-sum + merge (inner join: keys
+       missing either side emit nothing);
     4. the customer→segment map IS small, so it stays a broadcast
        lookup (the rule: broadcast small sides, shuffle big ones);
     5. top-k = per-block partial top-k + a k×blocks driver merge, cut
@@ -570,38 +573,44 @@ def order_revenue_topk(sf_dir: str, k: int = 20) -> pd.DataFrame:
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
     seg_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
 
+    from ..functions.pool import cluster_cpus
+
+    P = max(16, 4 * int(cluster_cpus()))
+
     def li_partial(batch: pa.Table) -> pd.DataFrame:
         rev = pc.multiply(batch["l_extendedprice"],
                           pc.subtract(pa.scalar(1.0), batch["l_discount"]))
         t = pa.table({"okey": batch["l_orderkey"], "revenue": rev})
         agg = t.group_by("okey").aggregate([("revenue", "sum")]).to_pandas()
+        keys = agg["okey"].to_numpy().astype("int64")
         return pd.DataFrame({
-            "okey": agg["okey"].astype("int64"),
+            "okey": keys,
             "side": np.int8(1),
             "custkey": np.int64(-1),
             "revenue": agg["revenue_sum"].astype("float64"),
+            "bkt": keys % P,
         })
 
     def orders_rows(batch: pa.Table) -> pd.DataFrame:
+        keys = batch["o_orderkey"].to_numpy().astype("int64")
         return pd.DataFrame({
-            "okey": batch["o_orderkey"].to_numpy().astype("int64"),
+            "okey": keys,
             "side": np.int8(0),
             "custkey": batch["o_custkey"].to_numpy().astype("int64"),
             "revenue": np.float64(0.0),
+            "bkt": keys % P,
         })
 
-    def join_group(g: pd.DataFrame) -> pd.DataFrame:
-        sides = g["side"].to_numpy()
-        has0 = (sides == 0).any()
-        m1 = sides == 1
-        if not (has0 and m1.any()):
-            return pd.DataFrame({"o_orderkey": pd.Series(dtype="int64"),
-                                 "custkey": pd.Series(dtype="int64"),
-                                 "revenue": pd.Series(dtype="float64")})
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        m1 = g["side"].to_numpy() == 1
+        rev = (g.loc[m1].groupby("okey", sort=False)["revenue"].sum()
+               .rename("revenue"))
+        o = g.loc[~m1, ["okey", "custkey"]]
+        j = o.merge(rev, left_on="okey", right_index=True, how="inner")
         return pd.DataFrame({
-            "o_orderkey": [int(g["okey"].iloc[0])],
-            "custkey": [int(g.loc[g.index[sides == 0][0], "custkey"])],
-            "revenue": [float(g.loc[m1, "revenue"].sum())],
+            "o_orderkey": j["okey"].astype("int64"),
+            "custkey": j["custkey"].astype("int64"),
+            "revenue": j["revenue"].astype("float64"),
         })
 
     class TopKWithSegment:
@@ -619,8 +628,8 @@ def order_revenue_topk(sf_dir: str, k: int = 20) -> pd.DataFrame:
 
     joined = (li.map_batches(li_partial, batch_format="pyarrow")
               .union(orders.map_batches(orders_rows, batch_format="pyarrow"))
-              .groupby("okey")
-              .map_groups(join_group, batch_format="pandas")
+              .groupby("bkt")
+              .map_groups(join_bucket, batch_format="pandas")
               .map_batches(TopKWithSegment, batch_format="pandas",
                            concurrency=auto_pool(frac=0.5))
               .to_pandas())
