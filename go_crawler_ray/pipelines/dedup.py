@@ -567,25 +567,34 @@ def _simhash_pairs_ds(sf_dir: str, max_hamming: int = 3,
             }))
         return pd.concat(parts, ignore_index=True)
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = g["doc_id"].to_numpy()
-        h = g["simhash"].to_numpy().view(np.uint64)
+    def scan_bucket(ids: np.ndarray, h: np.ndarray,
+                    out_a: list, out_b: list, out_d: list) -> None:
         order = np.argsort(ids)
         ids, h = ids[order], h[order]
         n = len(ids)
-        out_a, out_b, out_d = [], [], []
-        if n >= 2:
-            # chunked upper-triangle scan: memory stays O(chunk x n)
-            for i0 in range(0, n - 1, 512):
-                i1 = min(i0 + 512, n - 1)
-                blk = slice(i0, i1)
-                d = _popcount64(
-                    (h[blk, None] ^ h[None, :]).ravel()).reshape(i1 - i0, n)
-                bi, bj = np.nonzero(d <= max_hamming)
-                keep = (bi + i0) < bj            # strict upper triangle
-                out_a.append(ids[bi[keep] + i0])
-                out_b.append(ids[bj[keep]])
-                out_d.append(d[bi[keep], bj[keep]])
+        # chunked upper-triangle scan: memory stays O(chunk x n)
+        for i0 in range(0, n - 1, 512):
+            i1 = min(i0 + 512, n - 1)
+            blk = slice(i0, i1)
+            d = _popcount64(
+                (h[blk, None] ^ h[None, :]).ravel()).reshape(i1 - i0, n)
+            bi, bj = np.nonzero(d <= max_hamming)
+            keep = (bi + i0) < bj            # strict upper triangle
+            out_a.append(ids[bi[keep] + i0])
+            out_b.append(ids[bj[keep]])
+            out_d.append(d[bi[keep], bj[keep]])
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # one salt group: vectorized duplicate mark cuts to colliding
+        # (band, key) buckets; only those run the Hamming scan
+        dup = g[g.duplicated(["band", "key"], keep=False)]
+        out_a: list = []
+        out_b: list = []
+        out_d: list = []
+        for _, grp in dup.groupby(["band", "key"], sort=False):
+            scan_bucket(grp["doc_id"].to_numpy(),
+                        grp["simhash"].to_numpy().view(np.uint64),
+                        out_a, out_b, out_d)
         if not out_a:
             return pd.DataFrame({"a": np.array([], dtype="int64"),
                                  "b": np.array([], dtype="int64"),
@@ -595,6 +604,22 @@ def _simhash_pairs_ds(sf_dir: str, max_hamming: int = 3,
             "b": np.concatenate(out_b).astype("int64"),
             "hamming": np.concatenate(out_d).astype("int64"),
         })
+
+    from ..functions.pool import cluster_cpus
+
+    P = max(16, 4 * int(cluster_cpus()))
+
+    def salt(batch: pd.DataFrame) -> pd.DataFrame:
+        # (band, key) buckets -> P salt groups: the bucket-keyed
+        # groupby carried docs x bands nearly-singleton groups through
+        # the all-to-all with one Python call each (the measured
+        # many-groups-per-block constant); a bucket always lands whole
+        # in one salt group, so the pair set is unchanged
+        batch["bkt"] = ((batch["key"].to_numpy().astype(np.uint64)
+                         * np.uint64(31)
+                         + batch["band"].to_numpy().astype(np.uint64))
+                        % np.uint64(P)).astype("int64")
+        return batch
 
     sig_ds = (_read_docs(sf_dir, ["doc_id", "text"], _docs_blocks(sf_dir))
               .map_batches(SimHashStage, batch_format="pandas",
@@ -609,7 +634,8 @@ def _simhash_pairs_ds(sf_dir: str, max_hamming: int = 3,
         sig_ds = sig_ds.materialize()
         sig_ds.write_parquet(side)
     return (sig_ds.map_batches(explode_bands, batch_format="pandas")
-            .groupby(["band", "key"])
+            .map_batches(salt, batch_format="pandas")
+            .groupby("bkt")
             .map_groups(bucket_pairs, batch_format="pandas"))
 
 
@@ -1332,13 +1358,22 @@ def paragraph_dedup(sf_dir: str, para_tokens: int = 16) -> pd.DataFrame:
 
     Scale shape: ONE hash shuffle. The explode emits slim
     (doc_id, para_idx, md5) rows — paragraph TEXT never enters the
-    shuffle — and one groupby(md5) marks each group's lexicographic
-    minimum. No broadcast table, no driver state; rows out = paragraphs
-    in, so the verdict table streams straight to a sink at any scale.
-    The md5 loop is a real per-paragraph kernel (same discipline as the
-    fingerprint op), distributed across map tasks."""
+    shuffle — grouped by a SALT BUCKET (md5-prefix mod P), not by the
+    md5 itself: hash-keyed grouping would carry one nearly-singleton
+    group per distinct paragraph with a Python call each (the measured
+    many-groups-per-block constant). Each salt group marks every md5's
+    lexicographic (doc_id, para_idx) minimum with ONE vectorized
+    sort + duplicated pass; an md5 always lands whole in one salt
+    group, so the verdict is unchanged. No broadcast table, no driver
+    state; rows out = paragraphs in, so the verdict table streams
+    straight to a sink at any scale. The md5 loop is a real
+    per-paragraph kernel (same discipline as the fingerprint op),
+    distributed across map tasks."""
     import hashlib
 
+    from ..functions.pool import cluster_cpus
+
+    P = max(16, 4 * int(cluster_cpus()))
     ds = _read_docs(sf_dir, ["doc_id", "text"], _docs_blocks(sf_dir))
 
     def explode_paras(batch: pd.DataFrame) -> pd.DataFrame:
@@ -1352,19 +1387,22 @@ def paragraph_dedup(sf_dir: str, para_tokens: int = 16) -> pd.DataFrame:
                 pidx.append(i // para_tokens)
                 ph.append(hashlib.md5(
                     " ".join(toks[i:i + para_tokens]).encode()).hexdigest())
-        return pd.DataFrame({"doc_id": np.array(ids, dtype="int64"),
-                             "para_idx": np.array(pidx, dtype="int64"),
-                             "ph": ph})
+        df = pd.DataFrame({"doc_id": np.array(ids, dtype="int64"),
+                           "para_idx": np.array(pidx, dtype="int64"),
+                           "ph": ph})
+        df["bkt"] = (df["ph"].str[:8].apply(int, base=16)
+                     % P).astype("int64")
+        return df
 
     def mark_first(g: pd.DataFrame) -> pd.DataFrame:
-        d = g["doc_id"].to_numpy()
-        p = g["para_idx"].to_numpy()
-        keep = np.zeros(len(g), dtype="int64")
-        keep[np.lexsort((p, d))[0]] = 1
-        return pd.DataFrame({"doc_id": d, "para_idx": p, "keep": keep})
+        g = g.sort_values(["ph", "doc_id", "para_idx"])
+        keep = (~g.duplicated("ph", keep="first")).to_numpy()
+        return pd.DataFrame({"doc_id": g["doc_id"].to_numpy(),
+                             "para_idx": g["para_idx"].to_numpy(),
+                             "keep": keep.astype("int64")})
 
     out = (ds.map_batches(explode_paras, batch_format="pandas")
-           .groupby("ph").map_groups(mark_first, batch_format="pandas")
+           .groupby("bkt").map_groups(mark_first, batch_format="pandas")
            .to_pandas())
     return (out.astype({"doc_id": "int64", "para_idx": "int64",
                         "keep": "int64"})
