@@ -374,20 +374,30 @@ def tfidf_topk(sf_dir: str, k: int = 5) -> pd.DataFrame:
     docs containing the word. Ties break (tfidf desc, word asc); scores
     rounded half-away to 4 places AFTER the cut.
 
-    Scale shape — two key-colocating shuffles, no vocabulary broadcast:
+    Scale shape — two key-colocating shuffles, no vocabulary broadcast,
+    both grouped by SALT BUCKETS (word-hash mod P / doc_id mod P) so
+    neither pays one A2A group + one Python call per distinct word or
+    doc (the measured many-groups-per-block constant; a key always
+    lands whole in one salt group, so scores are unchanged):
     1. per-batch (word, doc_id, tf) postings via one explode +
        value_counts (the inverted-index build);
-    2. groupby(word): df = group size (each doc appears once per word),
-       score every posting in place — idf needs nothing but the group
-       and the constant N (parquet row count, no extra pass);
-    3. groupby(doc_id): per-doc top-k cut, vectorized sort + head.
+    2. word salt groupby: df = per-word transform('size') (each doc
+       appears once per word), score every posting vectorized in place
+       — idf needs nothing but the group and the constant N (parquet
+       row count, no extra pass);
+    3. doc salt groupby: per-doc top-k via one vectorized sort +
+       groupby-head per salt group.
     The driver receives only the k * N_docs result rows. At 100 TB both
     shuffles carry the postings table, which is the irreducible payload
     of exact tf-idf.
     """
     import pyarrow.parquet as _pq
 
+    from ..functions.hashing import crc32_many
+    from ..functions.pool import cluster_cpus
+
     n_docs = _pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    P = max(16, 4 * int(cluster_cpus()))
 
     def postings(batch: pd.DataFrame) -> pd.DataFrame:
         toks = (batch["text"].str.strip().str.split(_WS)
@@ -398,21 +408,30 @@ def tfidf_topk(sf_dir: str, k: int = 5) -> pd.DataFrame:
                            "word": ex.to_numpy()})
         g = (df.groupby(["doc_id", "word"], sort=False).size()
              .reset_index(name="tf"))
-        return pd.DataFrame({"word": g["word"].to_numpy(dtype=object),
+        words = g["word"].to_numpy(dtype=object)
+        wbkt = (crc32_many(pa.array(words.astype(str), pa.string()))
+                % np.uint32(P)).astype("int64")
+        return pd.DataFrame({"word": words,
                              "doc_id": g["doc_id"].astype("int64"),
-                             "tf": g["tf"].astype("int64")})
+                             "tf": g["tf"].astype("int64"),
+                             "wbkt": wbkt})
 
     def score(g: pd.DataFrame) -> pd.DataFrame:
-        idf = np.log(n_docs / len(g))
+        # one salt group: df per word via a vectorized transform
+        df_w = g.groupby("word", sort=False)["tf"].transform("size")
+        ids = g["doc_id"].to_numpy().astype("int64")
         return pd.DataFrame({
-            "doc_id": g["doc_id"].astype("int64"),
+            "doc_id": ids,
             "word": g["word"],
-            "tfidf_raw": g["tf"].to_numpy() * idf,
+            "tfidf_raw": g["tf"].to_numpy()
+            * np.log(n_docs / df_w.to_numpy()),
+            "dbkt": ids % P,
         })
 
     def doc_topk(g: pd.DataFrame) -> pd.DataFrame:
-        cut = g.sort_values(["tfidf_raw", "word"],
-                            ascending=[False, True]).head(k)
+        cut = (g.sort_values(["doc_id", "tfidf_raw", "word"],
+                             ascending=[True, False, True])
+               .groupby("doc_id", sort=False).head(k))
         return pd.DataFrame({
             "doc_id": cut["doc_id"].astype("int64"),
             "word": cut["word"],
@@ -421,8 +440,8 @@ def tfidf_topk(sf_dir: str, k: int = 5) -> pd.DataFrame:
 
     out = (_read_docs(sf_dir, ["doc_id", "text"])
            .map_batches(postings, batch_format="pandas")
-           .groupby("word").map_groups(score, batch_format="pandas")
-           .groupby("doc_id").map_groups(doc_topk, batch_format="pandas")
+           .groupby("wbkt").map_groups(score, batch_format="pandas")
+           .groupby("dbkt").map_groups(doc_topk, batch_format="pandas")
            .to_pandas())
     return (out.sort_values(["doc_id", "tfidf", "word"],
                             ascending=[True, False, True])
