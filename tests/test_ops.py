@@ -25,6 +25,29 @@ class TestDedup:
         for (ids,) in dup_groups:
             assert len({cl[i] for i in ids}) == 1, f"dup group {ids} split"
 
+    def test_candidate_pairs_salt_invariant(self):
+        """The LSH candidate-pair set must not depend on the salt-bucket
+        count P (a band bucket always lands whole in one salt group):
+        P=1 (everything in one group — the unsalted semantics) must
+        yield exactly the P=default pair set."""
+        from go_crawler_ray.functions.pool import auto_pool
+        from go_crawler_ray.pipelines.dedup import (MinHashStage,
+                                                    _candidate_pairs_ds,
+                                                    _docs_blocks,
+                                                    _read_docs)
+
+        ds = _read_docs(SF, ["doc_id", "text"], _docs_blocks(SF))
+        band = ds.map_batches(
+            MinHashStage, batch_format="pandas",
+            concurrency=auto_pool(frac=0.25),
+            fn_constructor_kwargs={"num_perms": 64, "bands": 16},
+        ).materialize()
+        p1 = _candidate_pairs_ds(band, n_salt=1).to_pandas()
+        pd_ = _candidate_pairs_ds(band).to_pandas()
+        s1 = set(zip(p1["a"], p1["b"]))
+        sd = set(zip(pd_["a"], pd_["b"]))
+        assert s1 == sd and len(sd) > 0
+
     def test_dup_spans_planted_run_and_island_merge(self, tmp_path):
         """Two docs share a 12-token run at different offsets; a third is
         unique. Expect exactly one maximal span per sharing doc covering
