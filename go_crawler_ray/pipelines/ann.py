@@ -219,3 +219,58 @@ def lsh_topk(sf_dir: str, n_queries: int = 8, k: int = 5,
     out = cand.groupby("query_id", sort=True).head(k).reset_index(drop=True)
     out["cos"] = round_half_away(out["cos"])
     return out
+
+
+def _recall_table(approx: pd.DataFrame, exact: pd.DataFrame,
+                  method: str, k: int, floor: float) -> pd.DataFrame:
+    """Per-query recall@k of an approximate top-k result against the
+    exact brute-force pass, with an engine-side macro-recall floor
+    assertion (VERDICT r4 #8: turns the rows-only approximate entries
+    into semi-verified ones — the result is deterministic given the
+    fixed seeds, and the engine itself refuses to return a table whose
+    recall regressed below the floor)."""
+    rows = []
+    hits_total = want_total = 0
+    for qid, grp in exact.groupby("query_id", sort=True):
+        want = set(grp["neighbor_id"])
+        got = set(approx.loc[approx["query_id"] == qid, "neighbor_id"])
+        n_hit = len(want & got)
+        hits_total += n_hit
+        want_total += len(want)
+        rows.append({"query_id": int(qid), "k": k,
+                     "n_exact": len(want), "n_hit": n_hit,
+                     "recall": round(n_hit / len(want), 4)})
+    macro = hits_total / max(want_total, 1)
+    if macro < floor:
+        raise AssertionError(
+            f"{method} macro recall@{k} = {macro:.4f} < floor {floor}")
+    out = pd.DataFrame(rows)
+    out["query_id"] = out["query_id"].astype("int64")
+    for c in ("k", "n_exact", "n_hit"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def lsh_recall(sf_dir: str, n_queries: int = 8, k: int = 5,
+               n_bits: int = 4, n_tables: int = 8,
+               floor: float = 0.5) -> pd.DataFrame:
+    """recall@k of the multi-table LSH probe vs the exact brute-force
+    pass (same queries, same k). One row per query; raises if the macro
+    recall falls below ``floor``. Deterministic given the LSH seed, so
+    the driver's rows+schema check also pins the values across runs."""
+    exact = brute_force_topk(sf_dir, n_queries=n_queries, k=k)
+    approx = lsh_topk(sf_dir, n_queries=n_queries, k=k,
+                      n_bits=n_bits, n_tables=n_tables)
+    return _recall_table(approx, exact, "lsh", k, floor)
+
+
+def ivf_recall(sf_dir: str, n_queries: int = 8, k: int = 5,
+               n_lists: int = 8, n_probe: int = 4,
+               floor: float = 0.5) -> pd.DataFrame:
+    """recall@k of the IVF coarse-quantizer probe vs the exact
+    brute-force pass; engine-side macro-recall floor, deterministic
+    given the k-means seed (see :func:`lsh_recall`)."""
+    exact = brute_force_topk(sf_dir, n_queries=n_queries, k=k)
+    approx = ivf_topk(sf_dir, n_queries=n_queries, k=k,
+                      n_lists=n_lists, n_probe=n_probe)
+    return _recall_table(approx, exact, "ivf", k, floor)

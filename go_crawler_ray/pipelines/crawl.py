@@ -310,6 +310,28 @@ def _empty_frontier() -> pa.Table:
     })
 
 
+@ray.remote
+def _robots_scan_partition(path: str) -> dict[str, str]:
+    """Scan ONE corpus partition for robots.txt docs -> {host: body}.
+
+    Two-phase so non-matching row groups never decode their (large)
+    spans column: first the doc_id column alone, then a pushed-down
+    ``isin`` read of just the matching rows."""
+    ids = pq.read_table(path, columns=["doc_id"]).column("doc_id")
+    hits = pc.ends_with(ids, pattern="/robots.txt")
+    if not pc.any(hits).as_py():
+        return {}
+    matches = pc.filter(ids, hits)
+    tbl = pq.read_table(path, columns=["doc_id", "spans"],
+                        filters=pc.field("doc_id").isin(matches))
+    out: dict[str, str] = {}
+    for u, spans in zip(tbl.column("doc_id").to_pylist(),
+                        tbl.column("spans").to_pylist()):
+        out[host_of(u)] = "".join(
+            s["text"] for s in spans if s["kind"] == "text")
+    return out
+
+
 class Crawler:
     """Driver for the BFS-round crawl over a corpus table."""
 
@@ -322,9 +344,6 @@ class Crawler:
         from ..stages.fetch import CorpusSpec, build_corpus_index
 
         if isinstance(corpus, CorpusSpec):
-            if self.cfg.robots:
-                raise ValueError("robots preload needs an in-memory corpus "
-                                 "table (it scans for robots.txt docs)")
             self.corpus_ref = ray.put(corpus)
         else:
             hs, perm = build_corpus_index(corpus.column("doc_id").to_pylist())
@@ -342,7 +361,9 @@ class Crawler:
         self.robots: RobotsCache | None = None
         self._robots_ref = None
         if self.cfg.robots:
-            bodies = self._robots_bodies(corpus)
+            bodies = (self._robots_bodies_spec(corpus)
+                      if isinstance(corpus, CorpusSpec)
+                      else self._robots_bodies(corpus))
             if self.cfg.frontier_refs:
                 self._robots_ref = ray.put(
                     {h: parse_robots(b) for h, b in bodies.items()})
@@ -391,6 +412,23 @@ class Crawler:
         self._ckpt_future = None
 
     # -- robots -----------------------------------------------------------
+    @staticmethod
+    def _robots_bodies_spec(spec) -> dict[str, str]:
+        """Streaming robots preload over the partitioned on-disk corpus
+        (the 100 TB layout): ONE Ray task per partition file scans only
+        the doc_id column (projection pushdown) and decodes spans just
+        for its robots.txt matches; the driver merges the tiny
+        {host: body} dicts. Never materializes a partition's documents
+        on the driver — robots now rides the CorpusSpec backend instead
+        of raising (the last robots×layout feature-matrix hole)."""
+        import glob
+
+        paths = sorted(glob.glob(os.path.join(spec.root, "part-*.parquet")))
+        bodies: dict[str, str] = {}
+        for d in ray.get([_robots_scan_partition.remote(p) for p in paths]):
+            bodies.update(d)
+        return bodies
+
     @staticmethod
     def _robots_bodies(corpus: pa.Table) -> dict[str, str]:
         """Scan the corpus once for robots.txt docs: {host: body} (the

@@ -290,13 +290,23 @@ def _verify_pairs_ds(pairs_ds: rd.Dataset, sf_dir: str,
     prune the scan) and shingles them locally, caching shingle sets
     across batches. Round-4 rewrite of the former broadcast shape (one
     task read+shingled the WHOLE candidate set, every actor then held a
-    full dict copy): now no single task and no single actor ever touches
-    more candidates than its own pair batches reference, so the stage
+    full dict copy): now no single task and no single actor ever holds
+    more shingle sets than its own pair batches reference — and the
+    per-actor cache is additionally capped at MAX_CACHED_DOCS entries
+    (cleared wholesale when exceeded) so cumulative growth across a
+    long-lived actor's many batches is bounded too. The stage therefore
     scales with pairs-per-actor, not with the global candidate count —
     the partitioned point-lookup layout that works against partitioned
     corpus storage at 100 TB. Shingle sets never touch the driver."""
 
     class VerifyJaccard:
+        # cache budget: without it a long-lived actor in a small pool
+        # would asymptotically accumulate every candidate's shingles,
+        # re-creating the per-actor-memory problem the round-4 rewrite
+        # removed. Eviction = wholesale clear (simpler than LRU; the
+        # next batch re-point-reads only its own ids)
+        MAX_CACHED_DOCS = 50_000
+
         def __init__(self):
             self.sh: dict[int, set] = {}
 
@@ -304,6 +314,8 @@ def _verify_pairs_ds(pairs_ds: rd.Dataset, sf_dir: str,
             import pyarrow.compute as pc
             import pyarrow.parquet as pq
 
+            if len(self.sh) > self.MAX_CACHED_DOCS:
+                self.sh.clear()
             missing = np.array([i for i in ids if i not in self.sh],
                                dtype=np.int64)
             if not len(missing):
@@ -997,7 +1009,10 @@ def _embedding_pairs_ds(sf_dir: str, threshold: float = 0.45,
                              columns=["embedding"])
              .limit(n_train).to_pandas())
     T = np.stack(train["embedding"].to_numpy()).astype(np.float64)
-    Tn = T / np.linalg.norm(T, axis=1, keepdims=True)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        # zero-norm rows normalize to NaN by design; the next line drops
+        # them, so silence the (expected) divide warning
+        Tn = T / np.linalg.norm(T, axis=1, keepdims=True)
     Tn = Tn[np.isfinite(Tn).all(axis=1)]   # zero-norm rows poison k-means
     if not len(Tn):
         # every sampled training vector degenerate: fall back to one
@@ -1027,8 +1042,13 @@ def _embedding_pairs_ds(sf_dir: str, threshold: float = 0.45,
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
             ids = batch["vec_id"].to_numpy().astype("int64")
             V = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
-            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
-            cl = np.argmax(Vn @ self.C.T, axis=1).astype("int32")
+            with np.errstate(invalid="ignore", divide="ignore"):
+                # zero-norm vectors become NaN rows: they can never
+                # clear the cosine threshold, so they flow through the
+                # block scans pairing with nothing (expected, silent)
+                Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            cl = np.argmax(np.nan_to_num(Vn @ self.C.T, nan=-2.0),
+                           axis=1).astype("int32")
             return pd.DataFrame({"vec_id": ids, "cluster": cl,
                                  "embedding": list(Vn)})
 

@@ -690,8 +690,22 @@ def components(sf_dir: str, max_rounds: int = 64,
     return pd.DataFrame({"node": ids_arr, "component": ids_arr[L]})
 
 
+_HTM_MAX_EDGES = 2_000_000
+
+
 def _components_htm(corpus: str, max_rounds: int = 64) -> pd.DataFrame:
-    """Hash-to-Min components (the string-keyed sibling of
+    """Hash-to-Min components — TEST-SCALE equivalence witness ONLY.
+
+    Kept as the shuffle-based formulation that pins the dense and
+    sharded rewrites by equality, NOT as a production path: each
+    convergence check collects the full state to the driver
+    (``labels_of``'s ``to_pandas``) and broadcasts a node→label Python
+    dict, both O(nodes) on the driver. Inputs are therefore capped at
+    ``_HTM_MAX_EDGES`` edges with a clear error — at larger scale use
+    the default dense mode (<~10^8 nodes) or ``sharded=True`` (10^10
+    mode), which hold no node-keyed driver state.
+
+    Algorithm (string-keyed sibling of
     pipelines/dedup._min_label_components): the adjacency state starts
     as C(v) = N(v) ∪ {v} from the edge dataset; each Hash-to-Min round
     is ONE groupby("node") shuffle (per node emit (min, c) and (c, min)
@@ -701,6 +715,13 @@ def _components_htm(corpus: str, max_rounds: int = 64) -> pd.DataFrame:
     the broadcast label map over a streaming doc_id read, so the state
     carries only edge-touched nodes (the near-dup-cluster discipline)."""
     edges = _edges_ds(corpus).materialize()
+    n_edges = edges.count()
+    if n_edges > _HTM_MAX_EDGES:
+        raise ValueError(
+            f"algorithm='htm' is the test-scale equivalence witness "
+            f"(O(nodes) driver state) and is capped at {_HTM_MAX_EDGES} "
+            f"edges; got {n_edges}. Use the default dense mode or "
+            f"sharded=True for large graphs.")
 
     def init_state(batch: pd.DataFrame) -> pd.DataFrame:
         a = batch["src"].to_numpy(dtype=object)
@@ -738,7 +759,7 @@ def _components_htm(corpus: str, max_rounds: int = 64) -> pd.DataFrame:
     state = edges.map_batches(init_state, batch_format="pandas")
     lab = pd.DataFrame({"node": pd.Series(dtype="object"),
                         "label": pd.Series(dtype="object")})
-    if edges.count():
+    if n_edges:
         for rnd in range(max_rounds):
             state = (state.groupby("node")
                      .map_groups(htm_round, batch_format="pandas")

@@ -228,8 +228,12 @@ def pack_sequences(sf_dir: str, seq_len: int = 256,
                          "bucket": pa.array(ids // rpb)})
 
     def hist_partial(b: pa.Table) -> pa.Table:
-        return b.group_by("bucket").aggregate([("n_tokens", "sum")]) \
-            .rename_columns(["bucket", "n_tokens"])
+        # select BY NAME: pyarrow has moved the group-key column between
+        # releases (keys trailed the aggregates in older ones), so a
+        # positional rename would silently swap bucket ids with sums
+        g = b.group_by("bucket").aggregate([("n_tokens", "sum")])
+        return pa.table({"bucket": g.column("bucket"),
+                         "n_tokens": g.column("n_tokens_sum")})
 
     slim = ds.map_batches(counted, batch_format="pandas").materialize()
     hist = (slim.map_batches(hist_partial, batch_format="pyarrow")

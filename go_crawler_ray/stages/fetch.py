@@ -283,6 +283,10 @@ class FetchStage:
         inherently per-rule-list Python — run only over the ruled
         subset, which on a real web crawl is a tiny fraction of rows."""
         out = np.zeros(batch.num_rows, dtype=bool)
+        if self._ruled_hosts is None:
+            # a robots-enabled crawl over a corpus with no robots.txt
+            # docs (or all-empty rule lists) has nothing to block
+            return out
         hosts = batch.column("host")
         ruled = pc.is_in(hosts, value_set=self._ruled_hosts).to_numpy(
             zero_copy_only=False)

@@ -387,6 +387,28 @@ class TestANN:
         recall = recall_hits / len(bf)
         assert recall >= 0.5, f"IVF recall too low: {recall}"
 
+    def test_recall_tables_deterministic(self):
+        """lsh_recall/ivf_recall: one row per query, recall columns
+        identical across two independent runs (the seeds pin the whole
+        pipeline), macro-floor assertion holds at the defaults."""
+        from go_crawler_ray.pipelines.ann import ivf_recall, lsh_recall
+
+        for fn in (lsh_recall, ivf_recall):
+            a = fn(SF)
+            b = fn(SF)
+            assert a.equals(b), fn.__name__
+            assert list(a.columns) == ["query_id", "k", "n_exact",
+                                       "n_hit", "recall"]
+            assert len(a) == 8
+            assert (a["recall"] >= 0).all() and (a["recall"] <= 1).all()
+
+    def test_recall_floor_raises(self):
+        """An unreachable floor must raise, not silently return."""
+        from go_crawler_ray.pipelines.ann import lsh_recall
+
+        with pytest.raises(AssertionError, match="macro recall"):
+            lsh_recall(SF, floor=1.01)
+
     def test_brute_force_is_exact(self):
         """Driver-side numpy reference must agree exactly."""
         import ray.data as rd

