@@ -778,10 +778,17 @@ class Crawler:
                     ds = rd.from_arrow(slices)
                 else:
                     ds = rd.from_arrow(current)
+            # NO `concurrency=` here: Ray's Task->Task operator fusion
+            # requires equal TaskPoolStrategy sizes, so capping just this
+            # stage split the chain into three physical operators and
+            # pushed the full content stream through the object store
+            # twice between them (measured: round-0 stream scaled 1->4
+            # CPUs at only ~0.74 from the extra memcpy contention). Left
+            # uncapped, stamp+fetch+parse+save+explode fuse into ONE
+            # operator and content bytes stay inside the map task.
             ds = ds.map_batches(
                 _FetchFn(self.corpus_ref, cfg, robots_ref=self._robots_ref),
-                batch_format="pyarrow",
-                batch_size=batch_rows, concurrency=cfg.fetch_concurrency)
+                batch_format="pyarrow", batch_size=batch_rows)
             ds = ds.map_batches(
                 _ParseFn(cfg.strict_rfc3986, cfg.parse_html),
                 batch_format="pyarrow", batch_size=batch_rows)
