@@ -213,7 +213,7 @@ def run_scaling() -> dict:
     drain at num_cpus=N and num_cpus=4N in fresh processes; efficiency =
     (t_N / t_4N) / 4.
 
-    N defaults to 2 (so 4N=8). This box advertises 32 schedulable CPUs
+    N defaults to 1 (so 4N=4). This box advertises 32 schedulable CPUs
     but saturates memory bandwidth well below 32-way parallelism for
     string/Arrow-heavy work (measured: a fixed 24k-row fetch+parse+save
     pipeline runs ~1.4x SLOWER under a 32-CPU session than an 8-CPU one),
